@@ -1,13 +1,218 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.blocking.BlockKeys
+import graft.matching.{MatchConfig, Matcher}
+import graft.normalize.Normalizer
+import graft.transcripts.Transcripts
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB oracle where the semantics are
+  * SQL-expressible (non-expressible scorers like token_set_ratio are
+  * covered by golden-vector ScalaTests instead and appear here with
+  * rows-only checks).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Shared query-shape helpers. */
+  private def turnsDF(s: SparkSession, dir: String) =
+    Transcripts.turns(s, dir).toDF()
+
+  /** Conversation documents: per-conv normalized text rebuilt from the
+    * turns table under stable (conv_id, turn_idx) ordering. */
+  def convNorm(s: SparkSession, dir: String): DataFrame =
+    turnsDF(s, dir)
+      .groupBy(col("conv_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+        x => x.getField("text")), "").as("doc"))
+      .select(
+        col("conv_id"),
+        regexp_extract(col("conv_id"), "c([0-9]+)_", 1).cast("bigint").as("entity_id"),
+        regexp_extract(col("conv_id"), "_([0-9]+)$", 1).cast("int").as("variant"),
+        Normalizer.normalize(col("doc")).as("text_norm"))
+
+  /** DuckDB mirror of [[convNorm]] as a CTE named conv_norm. */
+  private def convNormCte: String = {
+    val norm = Normalizer.normalizeSqlDuck("string_agg(text, '' ORDER BY turn_idx)")
+    s"""conv_norm AS (
+       |  SELECT conv_id,
+       |         CAST(regexp_extract(conv_id, 'c([0-9]+)_', 1) AS BIGINT) AS entity_id,
+       |         CAST(regexp_extract(conv_id, '_([0-9]+)$$', 1) AS INT) AS variant,
+       |         $norm AS text_norm
+       |  FROM transcripts GROUP BY conv_id
+       |)""".stripMargin
+  }
+
+  private def withCtes(body: String): String =
+    s"WITH ${Transcripts.oracleCte()},\n$convNormCte\n$body"
+
+  /** Two-sided match (jaro_winkler scorer — DuckDB-oracle-able): left =
+    * variant 0 conversations, right = variants 1..2; reference match
+    * config shape (threshold 60, topk 3, digits+prefix6 blocking,
+    * weights 0.8/0.15/0.05). */
+  def matchJw(s: SparkSession, dir: String): DataFrame = {
+    val conv = convNorm(s, dir).cache()
+    val cfg = MatchConfig.reference.copy(scorer = "jaro_winkler")
+    Matcher.matchPairs(
+      conv.filter(col("variant") === 0),
+      conv.filter(col("variant") > 0),
+      cfg, idCol = "conv_id", textCol = "text_norm")
+  }
+
+  /** DuckDB mirror of [[matchJw]]. Shared arithmetic shape with
+    * Scores.combine so doubles agree bit-for-bit. */
+  private def matchJwOracle: String = withCtes {
+    val bk = BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)
+    val ds = graft.similarity.Scores.digitsScoreSqlDuck("l.text_norm", "r.text_norm")
+    s"""
+       |, sides AS (SELECT conv_id, variant, text_norm, $bk AS block_key FROM conv_norm)
+       |, scored AS (
+       |  SELECT l.conv_id AS left_id, r.conv_id AS right_id,
+       |         round((jaro_winkler_similarity(l.text_norm, r.text_norm) * 100.0 * 0.8::DOUBLE
+       |                + $ds::DOUBLE * 0.15::DOUBLE)
+       |               / (0.8::DOUBLE + 0.15::DOUBLE), 2) AS score
+       |  FROM sides l JOIN sides r ON l.block_key = r.block_key
+       |  WHERE l.variant = 0 AND r.variant > 0
+       |)
+       |, ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY left_id
+       |                               ORDER BY score DESC, right_id ASC) AS rn
+       |  FROM scored WHERE score >= 60.0
+       |)
+       |SELECT left_id, right_id, score FROM ranked WHERE rn <= 3
+       |""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+
+  /** Flagship: full reference-config match (token_set_ratio scorer) on
+    * the transcript corpus — normalize → block → score → threshold →
+    * topk, end to end. */
+  def entry(spark: SparkSession): DataFrame = {
+    val conv = convNorm(spark, "/root/testdata/sf0.001").cache()
+    Matcher.matchPairs(
+      conv.filter(col("variant") === 0),
+      conv.filter(col("variant") > 0),
+      MatchConfig.reference, idCol = "conv_id", textCol = "text_norm")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Transcript derivation — per-turn text equality invariant under
+    // stable (conv_id, turn_idx) ordering.
+    "t_transcripts" -> ((s, dir) => turnsDF(s, dir)),
+    // Normalized conversation docs (normalize chain P1/P7/P9/P13 graft).
+    "t_conv_norm" -> ((s, dir) => convNorm(s, dir)),
+    // Tool-name canonicalization (abbreviation-table analogue, P7).
+    "n_tool_counts" -> ((s, dir) =>
+      turnsDF(s, dir)
+        .filter(col("tool").isNotNull)
+        .groupBy(Normalizer.normTool(col("tool")).as("tool_norm"))
+        .agg(count(lit(1)).as("cnt"))),
+    // Blocking keys (J1, digits+prefix6 — the reference's configured mode).
+    "b_block_keys" -> ((s, dir) =>
+      convNorm(s, dir).select(col("conv_id"),
+        BlockKeys.blockKey(col("text_norm"), "digits+prefix6").as("block_key"))),
+    // Block join + scoring + threshold + topk (J1-J3, J6-J7, J10-J12).
+    "m_match_jw" -> ((s, dir) => matchJw(s, dir)),
+    // Anti-join unmatched outputs (J15).
+    "m_unmatched_left" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      Matcher.unmatchedLeft(
+        conv.filter(col("variant") === 0).select(col("conv_id"), col("text_norm")),
+        matchJw(s, dir), idCol = "conv_id")
+    }),
+    "m_unmatched_right" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      Matcher.unmatchedRight(
+        conv.filter(col("variant") > 0).select(col("conv_id"), col("text_norm")),
+        matchJw(s, dir), idCol = "conv_id")
+    }),
+    // Pairwise linkage metrics vs the latent entity ground truth (A9).
+    "e_pair_metrics" -> ((s, dir) => {
+      val m = matchJw(s, dir)
+        .withColumn("le", regexp_extract(col("left_id"), "c([0-9]+)_", 1).cast("bigint"))
+        .withColumn("re", regexp_extract(col("right_id"), "c([0-9]+)_", 1).cast("bigint"))
+      val conv = convNorm(s, dir)
+      val nLeft = conv.filter(col("variant") === 0).count()
+      // ground-truth positives: (v0, v>0) pairs of the same entity = 2/left
+      m.agg(
+        sum(when(col("le") === col("re"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("le") =!= col("re"), 1L).otherwise(0L)).as("fp"))
+        .withColumn("fn", lit(nLeft * 2) - col("tp"))
+        .withColumn("precision", col("tp").cast("double") / (col("tp") + col("fp")))
+        .withColumn("recall", col("tp").cast("double") / (col("tp") + col("fn")))
+        .withColumn("f1",
+          lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "t_transcripts" -> withCtes(
+      "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
+    "t_conv_norm" -> withCtes(
+      "SELECT conv_id, entity_id, variant, text_norm FROM conv_norm"),
+    "n_tool_counts" -> withCtes(
+      s"""SELECT ${Normalizer.normToolSqlDuck("tool")} AS tool_norm, count(*) AS cnt
+         |FROM transcripts WHERE tool IS NOT NULL GROUP BY 1""".stripMargin),
+    "b_block_keys" -> withCtes(
+      s"""SELECT conv_id, ${BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)} AS block_key
+         |FROM conv_norm""".stripMargin),
+    "m_match_jw" -> matchJwOracle,
+    "m_unmatched_left" -> withCtes(
+      s"""
+         |, m AS (${matchBody}),
+         |l AS (SELECT conv_id, text_norm FROM conv_norm WHERE variant = 0)
+         |SELECT l.* FROM l WHERE conv_id NOT IN (SELECT left_id FROM m)
+         |""".stripMargin),
+    "m_unmatched_right" -> withCtes(
+      s"""
+         |, m AS (${matchBody}),
+         |r AS (SELECT conv_id, text_norm FROM conv_norm WHERE variant > 0)
+         |SELECT r.* FROM r WHERE conv_id NOT IN (SELECT right_id FROM m)
+         |""".stripMargin),
+    "e_pair_metrics" -> withCtes(
+      s"""
+         |, m AS (${matchBody}),
+         |c AS (
+         |  SELECT CAST(sum(CASE WHEN CAST(regexp_extract(left_id, 'c([0-9]+)_', 1) AS BIGINT)
+         |                           = CAST(regexp_extract(right_id, 'c([0-9]+)_', 1) AS BIGINT)
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN CAST(regexp_extract(left_id, 'c([0-9]+)_', 1) AS BIGINT)
+         |                           = CAST(regexp_extract(right_id, 'c([0-9]+)_', 1) AS BIGINT)
+         |             THEN 0 ELSE 1 END) AS BIGINT) AS fp
+         |  FROM m),
+         |n AS (SELECT count(*) AS n_left FROM conv_norm WHERE variant = 0)
+         |SELECT tp, fp, n_left * 2 - tp AS fn,
+         |       CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+         |       CAST(tp AS DOUBLE) / (tp + (n_left * 2 - tp)) AS recall,
+         |       2.0::DOUBLE * tp / (2.0::DOUBLE * tp + fp + (n_left * 2 - tp)) AS f1
+         |FROM c, n
+         |""".stripMargin)
+  )
+
+  /** The match CTE body, shared by the unmatched/metrics oracles (no
+    * leading WITH; expects transcripts + conv_norm CTEs in scope). */
+  private def matchBody: String = {
+    val bk = BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)
+    val ds = graft.similarity.Scores.digitsScoreSqlDuck("l.text_norm", "r.text_norm")
+    s"""
+       |  WITH sides AS (SELECT conv_id, variant, text_norm, $bk AS block_key FROM conv_norm),
+       |  scored AS (
+       |    SELECT l.conv_id AS left_id, r.conv_id AS right_id,
+       |           round((jaro_winkler_similarity(l.text_norm, r.text_norm) * 100.0 * 0.8::DOUBLE
+       |                  + $ds::DOUBLE * 0.15::DOUBLE)
+       |                 / (0.8::DOUBLE + 0.15::DOUBLE), 2) AS score
+       |    FROM sides l JOIN sides r ON l.block_key = r.block_key
+       |    WHERE l.variant = 0 AND r.variant > 0
+       |  ),
+       |  ranked AS (
+       |    SELECT *, row_number() OVER (PARTITION BY left_id
+       |                                 ORDER BY score DESC, right_id ASC) AS rn
+       |    FROM scored WHERE score >= 60.0
+       |  )
+       |  SELECT left_id, right_id, score FROM ranked WHERE rn <= 3
+       |""".stripMargin
+  }
 }

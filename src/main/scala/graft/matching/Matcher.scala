@@ -1,0 +1,165 @@
+package graft.matching
+
+import graft.blocking.BlockKeys
+import graft.similarity.{FuzzFunctions, Scores}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Match configuration — mirrors `configs/match.yaml` +
+  * the code defaults in `/root/reference/addresskit/match.py:92-129`
+  * (threshold 80 / topk 1 / scorer token_set_ratio when unset; the
+  * shipped config uses threshold 60 / topk 3 / digits+prefix6 /
+  * weights 0.8/0.15/0.05).
+  */
+case class MatchConfig(
+    scorer: String = "token_set_ratio",
+    threshold: Double = 80.0,
+    topk: Int = 1,
+    blockBy: String = "",
+    wText: Double = 0.8,
+    wDigits: Double = 0.2,
+    wGeo: Double = 0.2,
+    geoMaxKm: Double = 1.5,
+    semanticStopwords: Seq[String] = Nil,
+    saltBuckets: Int = 0) {
+  /** match.py:96-102 — 0..1 thresholds auto-scale to 0..100. */
+  def thresholdScaled: Double = if (threshold <= 1.0) threshold * 100.0 else threshold
+}
+
+object MatchConfig {
+  /** The shipped reference config (configs/match.yaml:1-21). */
+  val reference: MatchConfig = MatchConfig(
+    scorer = "token_set_ratio", threshold = 60, topk = 3,
+    blockBy = "digits+prefix6", wText = 0.8, wDigits = 0.15, wGeo = 0.05)
+}
+
+/** The blocking + pairwise-scoring engine — Spark rebuild of the
+  * reference's matcher (`match.py:88-260`). The per-block nested loop
+  * (match.py:177-231) becomes ONE salted, skew-aware equi-join on the
+  * derived `block_key`: the intra-block cross product *is* the equi-join
+  * output, the right-side precompute (match.py:183-188) is free
+  * (columns are computed once before the shuffle), and the matched-id
+  * set bookkeeping (match.py:171,230-231) becomes two anti-joins.
+  *
+  * Scale design (100 TB / 10^12 turns):
+  *   - the only shuffle is the equi-join on block_key (+ the top-k
+  *     window, which reuses the same partitioning when keyed on
+  *     left_id);
+  *   - hot blocks (coarse prefixes) are handled by AQE skew-join
+  *     splitting, plus optional deterministic salting
+  *     (`saltBuckets` > 0): left rows get salt = pmod(hash(left_id), S),
+  *     right rows are replicated S times, which preserves exact join
+  *     semantics while splitting a hot key into S sub-keys;
+  *   - scoring runs inside whole-stage codegen via the native
+  *     [[graft.similarity.FuzzBinaryExpression]]s;
+  *   - the cheap token-overlap pregate (match.py:198-199) is applied
+  *     as a join post-filter *before* the expensive scorer.
+  */
+object Matcher {
+
+  /** Inputs: `left`/`right` with (`idCol`, `textCol` [, lat, lon]).
+    * Output: matches (left_id, right_id, score), reference column order
+    * match.py:139. Text is assumed already normalized (the reference
+    * lower-cases in match.py:149-152; callers use Normalizer first). */
+  def matchPairs(
+      left: DataFrame,
+      right: DataFrame,
+      cfg: MatchConfig,
+      idCol: String = "id",
+      textCol: String = "text",
+      hasGeo: Boolean = false): DataFrame = {
+    val scorer = FuzzFunctions.scorer(cfg.scorer)
+
+    def prepped(df: DataFrame, side: String): DataFrame = {
+      var out = df
+        .withColumn("block_key", BlockKeys.blockKey(col(textCol), cfg.blockBy))
+        .select(
+          Seq(col(idCol).as(s"${side}_id"), col(textCol).as(s"${side}_text"),
+            col("block_key")) ++
+            (if (hasGeo) Seq(col("lat").as(s"${side}_lat"), col("lon").as(s"${side}_lon"))
+             else Nil): _*)
+      if (cfg.semanticStopwords.nonEmpty) {
+        // match.py:81-84: token set minus semantic stopwords
+        out = out.withColumn(s"${side}_toks",
+          array_except(
+            array_distinct(filter(split(col(s"${side}_text"), "\\s+"), t => t =!= "")),
+            lit(cfg.semanticStopwords.toArray)))
+      }
+      out
+    }
+
+    val l0 = prepped(left, "left")
+    val r0 = prepped(right, "right")
+
+    // Salted, skew-aware equi-join on the block key. AQE skew-join covers
+    // runtime skew; explicit salting is available for known-degenerate
+    // key distributions (single-bucket mode at scale).
+    val joined =
+      if (cfg.saltBuckets > 1) {
+        val s = cfg.saltBuckets
+        val lSalt = l0.withColumn("salt", pmod(hash(col("left_id")), lit(s)))
+        val rSalt = r0.withColumn("salt",
+          explode(sequence(lit(0), lit(s - 1))))
+        lSalt.join(rSalt, Seq("block_key", "salt"), "inner").drop("salt")
+      } else {
+        l0.join(r0, Seq("block_key"), "inner")
+      }
+
+    // Cheap pregate BEFORE the scorer (predicate order preserved).
+    val gated =
+      if (cfg.semanticStopwords.nonEmpty)
+        joined.filter(arrays_overlap(col("left_toks"), col("right_toks")))
+      else joined
+
+    val textS = scorer(col("left_text"), col("right_text"))
+    val digitsS = Scores.digitsScore(col("left_text"), col("right_text"))
+    val geoS: Column =
+      if (hasGeo) {
+        val d = Scores.haversineKm(col("left_lat"), col("left_lon"),
+          col("right_lat"), col("right_lon"))
+        when(col("left_lat").isNotNull && col("left_lon").isNotNull &&
+          col("right_lat").isNotNull && col("right_lon").isNotNull,
+          Scores.geoScoreKm(d, cfg.geoMaxKm))
+      } else lit(null).cast("double")
+
+    val conf = Scores.combine(textS, digitsS, geoS, cfg.wText, cfg.wDigits, cfg.wGeo)
+
+    val scored = gated
+      .withColumn("score", conf)
+      .filter(col("score") >= cfg.thresholdScaled)
+
+    // Top-k per left row (match.py:224-225). The reference sorts by conf
+    // desc with python's stable sort; we add right_id asc as an explicit
+    // deterministic tie-break.
+    val w = Window.partitionBy(col("left_id"))
+      .orderBy(col("score").desc, col("right_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cfg.topk)
+      .select(col("left_id"), col("right_id"), col("score"))
+  }
+
+  /** Index mode (match.py:155-165): positional 1:1 zip of the first
+    * min(|L|,|R|) rows under an explicit stable ordering, score 1.0. */
+  def matchIndex(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String = "id",
+      orderCol: String = "id"): DataFrame = {
+    def numbered(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"))
+        .withColumn("rn", row_number().over(Window.orderBy(col(s"${side}_id"))))
+    numbered(left, "left")
+      .join(numbered(right, "right"), Seq("rn"), "inner")
+      .select(col("left_id"), col("right_id"), lit(1.0).as("score"))
+  }
+
+  /** Unmatched rows (match.py:233-260): left/right anti-joins against the
+    * match output. Cache `matches` before calling both sides. */
+  def unmatchedLeft(left: DataFrame, matches: DataFrame, idCol: String = "id"): DataFrame =
+    left.join(matches.select(col("left_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  def unmatchedRight(right: DataFrame, matches: DataFrame, idCol: String = "id"): DataFrame =
+    right.join(matches.select(col("right_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+}

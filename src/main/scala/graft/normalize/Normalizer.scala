@@ -1,0 +1,69 @@
+package graft.normalize
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text + tool-name canonicalization for the transcript graft — the
+  * Spark-native rebuild of the reference's normalize stage
+  * (`/root/reference/addresskit/normalize.py:85-136`,
+  * `configs/normalize.yaml`). The whole chain is pure Column
+  * expressions folded in rule order (the reference applies its YAML
+  * rules sequentially), so Catalyst constant-folds the rule literals and
+  * whole-stage codegen fuses the chain into the scan — no UDFs.
+  *
+  * Two chains live here:
+  *   - [[normalize]]: the graft chain for transcript text. Uses only
+  *     constructs with identical semantics in DuckDB (`lower`, literal
+  *     `replace`, RE2-safe `regexp_replace`), so the driver's DuckDB
+  *     oracle can mirror it exactly ([[normalizeSqlDuck]]).
+  *   - [[graft.normalize.ReferenceNormalizer]]: full-fidelity port of the
+  *     reference's Turkish address chain (P1-P13), Java-regex features
+  *     allowed, verified by golden pairs instead of SQL oracles.
+  */
+object Normalizer {
+
+  /** Abbreviation table (graft analogue of ABBR_MAP
+    * normalize_part.py:10-25): dirty token -> canonical. Patterns are
+    * word-bounded, optionally dot-suffixed, like the reference's
+    * `\b<abbr>\b` expansion (normalize.py:117-121). */
+  val abbreviations: Seq[(String, String)] = Seq(
+    ("mrg", "merge"), ("wnd", "window"), ("strm", "stream"), ("cust", "customer"))
+
+  /** The graft normalize chain:
+    *  1. lowercase (normalize.py:95-96)
+    *  2. abbreviation expansion with word boundaries (normalize.py:117-121)
+    *  3. punctuation -> space (strip_punctuation, normalize.py:129-130)
+    *  4. whitespace collapse + trim (normalize.py:132-134)
+    */
+  def normalize(c: Column): Column = {
+    val lowered = lower(c)
+    val expanded = abbreviations.foldLeft(lowered) { case (acc, (abbr, full)) =>
+      regexp_replace(acc, s"\\b$abbr\\b\\.?", full)
+    }
+    val noPunct = regexp_replace(expanded, "[^a-z0-9 ]", " ")
+    trim(regexp_replace(noPunct, " +", " "))
+  }
+
+  /** DuckDB mirror of [[normalize]] over a SQL expression string.
+    * RE2 regexes with the 'g' flag match Spark's replace-all default. */
+  def normalizeSqlDuck(e: String): String = {
+    val lowered = s"lower($e)"
+    val expanded = abbreviations.foldLeft(lowered) { case (acc, (abbr, full)) =>
+      s"regexp_replace($acc, '\\b$abbr\\b\\.?', '$full', 'g')"
+    }
+    val noPunct = s"regexp_replace($expanded, '[^a-z0-9 ]', ' ', 'g')"
+    s"trim(regexp_replace($noPunct, ' +', ' ', 'g'))"
+  }
+
+  /** Tool-name canonicalization — the graft analogue of the reference's
+    * abbreviation table applied to the `tool` column: lowercase, any
+    * punctuation/space run -> single underscore. Maps every dirty
+    * spelling in [[graft.transcripts.Transcripts.toolSpellings]] to its
+    * canonical name. */
+  def normTool(c: Column): Column =
+    when(c.isNull, null).otherwise(
+      regexp_replace(lower(c), "[^a-z0-9]+", "_"))
+
+  def normToolSqlDuck(e: String): String =
+    s"CASE WHEN $e IS NULL THEN NULL ELSE regexp_replace(lower($e), '[^a-z0-9]+', '_', 'g') END"
+}

@@ -1,0 +1,76 @@
+package graft.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Confidence-score components — Spark rebuild of
+  * `/root/reference/addresskit/scoring/confidence.py`. All pure Column
+  * arithmetic (codegen'd); no UDFs.
+  */
+object Scores {
+
+  /** digits_score (confidence.py:8-17): 100 if the digit-run sets of the
+    * two texts intersect, else 0; 0 if either has no digits. */
+  def digitsScore(l: Column, r: Column): Column = {
+    val ld = regexp_extract_all(l, lit("[0-9]+"))
+    val rd = regexp_extract_all(r, lit("[0-9]+"))
+    when(size(ld) === 0 || size(rd) === 0, 0.0)
+      .when(arrays_overlap(ld, rd), 100.0)
+      .otherwise(0.0)
+  }
+
+  /** haversine_km (confidence.py:20-29), R=6371.0088. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val R = 6371.0088
+    val phi1 = radians(lat1)
+    val phi2 = radians(lat2)
+    val dphi = phi2 - phi1
+    val dl = radians(lon2 - lon1)
+    val a = pow(sin(dphi / 2), 2) + cos(phi1) * cos(phi2) * pow(sin(dl / 2), 2)
+    lit(2 * R) * asin(sqrt(a))
+  }
+
+  /** geo_score_km (confidence.py:32-37): 0 km -> 100, >= maxKm -> 0,
+    * linear in between; null distance -> null (caller decides weight
+    * renormalization, mirroring match.py:210-212 where geo is only
+    * combined when both sides have coordinates). */
+  def geoScoreKm(distKm: Column, maxKm: Double): Column = {
+    val d = least(greatest(distKm, lit(0.0)), lit(maxKm))
+    lit(100.0) * (lit(1.0) - d / maxKm)
+  }
+
+  /** combine_scores (confidence.py:40-60): weighted mean with
+    * renormalization over the *active* weights — text always active,
+    * digits active when non-null, geo active when non-null — rounded to
+    * 2 decimals (HALF_UP, like python round on these magnitudes). */
+  def combine(
+      text: Column,
+      digits: Column,
+      geo: Column,
+      wText: Double = 0.8,
+      wDigits: Double = 0.2,
+      wGeo: Double = 0.2): Column = {
+    val dW = when(digits.isNull, 0.0).otherwise(wDigits)
+    val gW = when(geo.isNull, 0.0).otherwise(wGeo)
+    val total = lit(wText) + dW + gW
+    val sum = text * wText + coalesce(digits, lit(0.0)) * dW +
+      coalesce(geo, lit(0.0)) * gW
+    round(sum / total, 2)
+  }
+
+  // DuckDB mirrors -------------------------------------------------------
+
+  def digitsScoreSqlDuck(l: String, r: String): String =
+    s"""(CASE WHEN len(regexp_extract_all($l, '[0-9]+')) = 0
+       |        OR len(regexp_extract_all($r, '[0-9]+')) = 0 THEN 0.0
+       |      WHEN len(list_intersect(regexp_extract_all($l, '[0-9]+'),
+       |                              regexp_extract_all($r, '[0-9]+'))) > 0 THEN 100.0
+       |      ELSE 0.0 END)""".stripMargin.replaceAll("\n\\s*", " ")
+
+  def haversineKmSqlDuck(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"(2 * 6371.0088 * asin(sqrt(pow(sin((radians($lat2) - radians($lat1)) / 2), 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2), 2))))"
+
+  def geoScoreKmSqlDuck(d: String, maxKm: Double): String =
+    s"(100.0 * (1.0 - least(greatest($d, 0.0), $maxKm) / $maxKm))"
+}

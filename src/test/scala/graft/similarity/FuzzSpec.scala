@@ -1,0 +1,119 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop}
+import scala.io.Source
+
+/** Scorer parity tests.
+  *
+  * Golden vectors in `fuzz_golden.csv` were produced by an independent
+  * O(nm) LCS dynamic program (indel/token ratios) and DuckDB's
+  * `jaro_winkler_similarity` (the oracle the driver uses) — see
+  * `tools/gen_fuzz_golden.py`. Hand-checked anchors match published
+  * rapidfuzz values (`fuzz.ratio("this is a test","this is a test!")` =
+  * 96.5517…, `fuzz.ratio("hello","world")` = 20, token_set fast-path =
+  * 100, mariners/angels token_set = 90.909…).
+  */
+class FuzzSpec extends SparkSpec {
+
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def goldens: Seq[Array[String]] = {
+    val src = Source.fromResource("fuzz_golden.tsv")(scala.io.Codec.UTF8)
+    try {
+      val lines = src.getLines().toList.drop(1)
+      // simple CSV: our generator only quotes nothing; fields never
+      // contain commas except none — split on first 2 commas from the
+      // right for the 4 numeric fields
+      lines.map { l =>
+        val parts = l.split("\t", -1)
+        val nums = parts.takeRight(4)
+        val ab = parts.dropRight(4)
+        // a and b themselves contain no commas (generator vocab has none)
+        require(ab.length == 2, s"unparseable golden line: $l")
+        Array(ab(0), ab(1), nums(0), nums(1), nums(2), nums(3))
+      }
+    } finally src.close()
+  }
+
+  test("golden vectors: ratio / token_set / token_sort / jaro_winkler") {
+    val gs = goldens
+    assert(gs.nonEmpty)
+    gs.foreach { g =>
+      val (a, b) = (g(0), g(1))
+      assert(math.abs(Fuzz.ratio(a, b) - g(2).toDouble) < 1e-9, s"ratio($a,$b)")
+      assert(math.abs(Fuzz.tokenSetRatio(a, b) - g(3).toDouble) < 1e-9, s"token_set($a,$b)")
+      assert(math.abs(Fuzz.tokenSortRatio(a, b) - g(4).toDouble) < 1e-9, s"token_sort($a,$b)")
+      assert(math.abs(Fuzz.jaroWinkler(a, b) - g(5).toDouble) < 1e-9, s"jw($a,$b)")
+    }
+  }
+
+  private def lcsNaive(a: String, b: String): Int = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) =
+        if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.length)(b.length)
+  }
+
+  test("property: bit-parallel LCS equals naive DP (incl. >64-char strings)") {
+    val chars = Gen.oneOf("abcçğıiİIoöuü 0123456789./".toSeq)
+    val str = Gen.chooseNum(0, 200).flatMap(n => Gen.stringOfN(n, chars))
+    check(Prop.forAll(str, str) { (a: String, b: String) =>
+      Fuzz.lcsLength(a, b) == lcsNaive(a, b)
+    })
+  }
+
+  test("property: score symmetry and bounds") {
+    val str = Gen.chooseNum(0, 60).flatMap(n => Gen.stringOfN(n, Gen.oneOf("ab c".toSeq)))
+    check(Prop.forAll(str, str) { (a: String, b: String) =>
+      val r = Fuzz.ratio(a, b)
+      val ts = Fuzz.tokenSetRatio(a, b)
+      r >= 0 && r <= 100 && ts >= 0 && ts <= 100 &&
+        math.abs(r - Fuzz.ratio(b, a)) < 1e-12 &&
+        math.abs(ts - Fuzz.tokenSetRatio(b, a)) < 1e-12 &&
+        Fuzz.ratio(a, a) == 100.0
+    })
+  }
+
+  test("partial_ratio: containment scores 100; window semantics") {
+    assert(Fuzz.partialRatio("abc", "xxabcxx") == 100.0)
+    assert(Fuzz.partialRatio("xxabcxx", "abc") == 100.0)
+    assert(Fuzz.partialRatio("", "") == 100.0)
+    assert(Fuzz.partialRatio("", "abc") == 0.0)
+    // shorter-vs-window max: "ab" vs "ba" windows of len 2: {"ba","a"} →
+    // ratio("ab","ba")=50, ratio("ab","a")=66.67
+    assert(math.abs(Fuzz.partialRatio("ab", "ba") - 100.0 * 2 / 3) < 1e-9)
+  }
+
+  test("catalyst expressions agree with Fuzz and survive codegen") {
+    import spark.implicits._
+    import graft.similarity.FuzzFunctions._
+    val df = Seq(
+      ("örnek mahalle atatürk cadde no 12", "atatürk cad no 12 örnek mah"),
+      ("this is a test", "this is a test!"),
+      ("", "abc"),
+      (null.asInstanceOf[String], "x")
+    ).toDF("a", "b")
+    val out = df.select(
+      token_set_ratio($"a", $"b"), indel_ratio($"a", $"b"),
+      token_sort_ratio($"a", $"b"), partial_ratio($"a", $"b"),
+      jaro_winkler($"a", $"b")).collect()
+    assert(math.abs(out(0).getDouble(0) - 90.0) < 1e-9)
+    assert(math.abs(out(1).getDouble(1) - Fuzz.ratio("this is a test", "this is a test!")) < 1e-9)
+    assert(out(2).getDouble(0) == 0.0)
+    assert(out(3).isNullAt(0)) // null propagates
+  }
+
+  test("SQL registration works") {
+    FuzzFunctions.register(spark)
+    val r = spark.sql(
+      "select token_set_ratio('fuzzy was a bear','fuzzy fuzzy was a bear') s").collect()
+    assert(r(0).getDouble(0) == 100.0)
+  }
+}
