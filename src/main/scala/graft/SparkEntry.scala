@@ -1,8 +1,11 @@
 package graft
 
 import graft.blocking.BlockKeys
+import graft.cluster.ConnectedComponents
+import graft.fixtures.AddressFixture
 import graft.matching.{MatchConfig, Matcher}
 import graft.normalize.Normalizer
+import graft.similarity.Scores
 import graft.transcripts.Transcripts
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -86,6 +89,66 @@ object SparkEntry {
   }
 
   // -------------------------------------------------------------------
+  // Address fixture path (reference-shaped two-sided match, J6-J10 full)
+  // -------------------------------------------------------------------
+
+  /** Address match config: lev_ratio scorer (oracle-able via DuckDB's
+    * levenshtein), geo scoring active, reference yaml weights. */
+  private val addrCfg = MatchConfig(
+    scorer = "lev_ratio", threshold = 75, topk = 3,
+    blockBy = "digits+prefix6", wText = 0.8, wDigits = 0.15, wGeo = 0.05,
+    geoMaxKm = 1.5)
+
+  def addrNorm(df: DataFrame): DataFrame =
+    df.withColumn("address_norm", Normalizer.normalizeAddress(col("address")))
+
+  def addrMatchLev(s: SparkSession, dir: String): DataFrame =
+    Matcher.matchPairs(
+      addrNorm(AddressFixture.left(s, dir)),
+      addrNorm(AddressFixture.rightAll(s, dir)),
+      addrCfg, idCol = "id", textCol = "address_norm", hasGeo = true)
+
+  /** Clusters: transitive closure (large-star/small-star CC) over the
+    * accepted address pairs — the north-rule stage. */
+  def addrClusters(s: SparkSession, dir: String): DataFrame =
+    ConnectedComponents.run(addrMatchLev(s, dir), "left_id", "right_id")
+
+  /** DuckDB mirror of the address-match pipeline: CTEs addr_left/right
+    * -> normalized -> blocked -> scored -> ranked. */
+  private def addrMatchBody: String = {
+    val normL = Normalizer.normalizeAddressSqlDuck("address")
+    val bk = BlockKeys.digitsPrefixKeySqlDuck("t", 6)
+    val lev = Scores.levRatioSqlDuck("l.t", "r.t")
+    val ds = Scores.digitsScoreSqlDuck("l.t", "r.t")
+    val hav = Scores.haversineKmSqlDuck("l.lat", "l.lon", "r.lat", "r.lon")
+    val geo = Scores.geoScoreKmSqlDuck(hav, 1.5)
+    s"""
+       |  WITH ln AS (SELECT id, $normL AS t, lat, lon FROM addr_left),
+       |  rn AS (SELECT id, $normL AS t, lat, lon FROM addr_right),
+       |  lb AS (SELECT *, $bk AS block_key FROM ln),
+       |  rb AS (SELECT *, $bk AS block_key FROM rn),
+       |  scored AS (
+       |    SELECT l.id AS left_id, r.id AS right_id,
+       |           round(($lev * CAST(0.8 AS DOUBLE)
+       |                  + $ds * CAST(0.15 AS DOUBLE)
+       |                  + $geo * CAST(0.05 AS DOUBLE))
+       |                 / (CAST(0.8 AS DOUBLE) + CAST(0.15 AS DOUBLE) + CAST(0.05 AS DOUBLE)),
+       |                 2) AS score
+       |    FROM lb l JOIN rb r ON l.block_key = r.block_key
+       |  ),
+       |  ranked AS (
+       |    SELECT *, row_number() OVER (PARTITION BY left_id
+       |                                 ORDER BY score DESC, right_id ASC) AS rn
+       |    FROM scored WHERE score >= 75.0
+       |  )
+       |  SELECT left_id, right_id, score FROM ranked WHERE rn <= 3
+       |""".stripMargin
+  }
+
+  private def withAddrCtes(body: String): String =
+    s"WITH ${AddressFixture.leftCteDuck},\n${AddressFixture.rightCteDuck}\n$body"
+
+  // -------------------------------------------------------------------
 
   /** Flagship: full reference-config match (token_set_ratio scorer) on
     * the transcript corpus — normalize → block → score → threshold →
@@ -129,6 +192,35 @@ object SparkEntry {
         conv.filter(col("variant") > 0).select(col("conv_id"), col("text_norm")),
         matchJw(s, dir), idCol = "conv_id")
     }),
+    // Address fixture: reference-shaped left/right inputs + normalize
+    // chain (P1, P7, P10-P13 families).
+    "a_left_norm" -> ((s, dir) =>
+      addrNorm(AddressFixture.left(s, dir)).select("id", "address_norm", "lat", "lon")),
+    "a_right_norm" -> ((s, dir) =>
+      addrNorm(AddressFixture.rightAll(s, dir)).select("id", "address_norm", "lat", "lon")),
+    // Full scored match with digits + geo confidence (J6-J12).
+    "a_match_lev" -> ((s, dir) => addrMatchLev(s, dir)),
+    // Transitive clustering — large-star/small-star connected components.
+    "a_clusters" -> ((s, dir) => addrClusters(s, dir)),
+    // Index mode (J14): positional zip join.
+    "a_match_index" -> ((s, dir) =>
+      Matcher.matchIndex(AddressFixture.left(s, dir), AddressFixture.right(s, dir, 1))),
+    // Pairwise P/R/F1 for the address match vs labeled ground truth (A9/J18).
+    "e_addr_metrics" -> ((s, dir) => {
+      val m = addrMatchLev(s, dir)
+        .withColumn("hit",
+          (col("right_id") === concat(lit("r"), col("left_id"))) ||
+            (col("right_id") === concat(lit("s"), col("left_id"))))
+      val nLeft = AddressFixture.left(s, dir).count()
+      m.agg(
+        sum(when(col("hit"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("hit"), 0L).otherwise(1L)).as("fp"))
+        .withColumn("fn", lit(nLeft * 2) - col("tp"))
+        .withColumn("precision", col("tp").cast("double") / (col("tp") + col("fp")))
+        .withColumn("recall", col("tp").cast("double") / (col("tp") + col("fn")))
+        .withColumn("f1",
+          lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")))
+    }),
     // Pairwise linkage metrics vs the latent entity ground truth (A9).
     "e_pair_metrics" -> ((s, dir) => {
       val m = matchJw(s, dir)
@@ -149,6 +241,52 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "a_left_norm" -> withAddrCtes(
+      s"SELECT id, ${Normalizer.normalizeAddressSqlDuck("address")} AS address_norm, lat, lon FROM addr_left"),
+    "a_right_norm" -> withAddrCtes(
+      s"SELECT id, ${Normalizer.normalizeAddressSqlDuck("address")} AS address_norm, lat, lon FROM addr_right"),
+    "a_match_lev" -> withAddrCtes(s"SELECT * FROM ($addrMatchBody)"),
+    "a_clusters" -> withAddrCtes(
+      s"""
+         |, m AS ($addrMatchBody),
+         |edges AS (SELECT left_id AS u, right_id AS v FROM m
+         |          UNION SELECT right_id, left_id FROM m),
+         |verts AS (SELECT DISTINCT u AS id FROM edges)
+         |SELECT id, component FROM (
+         |  WITH RECURSIVE reach(id, r) AS (
+         |    SELECT id, id FROM verts
+         |    UNION
+         |    SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+         |  )
+         |  SELECT id, min(r) AS component FROM reach GROUP BY id
+         |)
+         |""".stripMargin),
+    "a_match_index" -> withAddrCtes(
+      s"""
+         |, l AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM addr_left),
+         |r AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM addr_right
+         |      WHERE id LIKE 'r%')
+         |SELECT l.id AS left_id, r.id AS right_id, CAST(1.0 AS DOUBLE) AS score
+         |FROM l JOIN r USING (rn)
+         |""".stripMargin),
+    "e_addr_metrics" -> withAddrCtes(
+      s"""
+         |, m AS ($addrMatchBody),
+         |c AS (
+         |  SELECT CAST(sum(CASE WHEN right_id = 'r' || left_id
+         |                         OR right_id = 's' || left_id
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN right_id = 'r' || left_id
+         |                         OR right_id = 's' || left_id
+         |                  THEN 0 ELSE 1 END) AS BIGINT) AS fp
+         |  FROM m),
+         |n AS (SELECT count(*) AS n_left FROM addr_left)
+         |SELECT tp, fp, n_left * 2 - tp AS fn,
+         |       CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+         |       CAST(tp AS DOUBLE) / (tp + (n_left * 2 - tp)) AS recall,
+         |       CAST(2.0 AS DOUBLE) * tp / (CAST(2.0 AS DOUBLE) * tp + fp + (n_left * 2 - tp)) AS f1
+         |FROM c, n
+         |""".stripMargin),
     "t_transcripts" -> withCtes(
       "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
     "t_conv_norm" -> withCtes(

@@ -1,0 +1,113 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Transitive clustering of the match graph — the north-rule stage the
+  * reference does not have (its pipeline stops at pairwise match.csv).
+  * Implements the alternating **large-star / small-star** algorithm
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) entirely with DataFrame self-joins + aggregations:
+  *
+  *   large-star: for each node a, with m = min(Γ⁺(a)), emit (b, m) for
+  *               every neighbor b > a
+  *   small-star: with m = min(Γ⁺(a)), emit (b, m) for every neighbor
+  *               b <= a (plus (a, m)), dropping self loops
+  *
+  * Both steps strictly reduce the potential function and converge to
+  * star graphs rooted at each component's minimum id in O(log n) rounds
+  * — at 10^12-edge scale this is the shuffle-friendly alternative to
+  * label propagation's O(diameter) rounds.
+  *
+  * Scale notes: every round is two shuffles (groupBy a + join back);
+  * `localCheckpoint` cuts the lineage each round so plans don't grow
+  * exponentially; convergence is detected with a cheap count + xor-hash
+  * aggregate over the canonical edge set.
+  */
+object ConnectedComponents {
+
+  /** @param edges DataFrame with two string/integral columns naming an
+    *              undirected edge (self-loops and duplicates welcome)
+    * @return (id, component) — every vertex mapped to the minimum vertex
+    *         id of its connected component
+    */
+  def run(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct()
+
+    // All vertices (kept so isolated self-loop-only vertices still get a
+    // component id).
+    val vertices = edges
+      .select(col(srcCol).as("id")).union(edges.select(col(dstCol).as("id")))
+      .distinct()
+
+    var e = canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
+      .localCheckpoint()
+
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)).as("c"),
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def neighbors(ed: DataFrame): DataFrame =
+      ed.select(col("u").as("a"), col("v").as("b"))
+        .union(ed.select(col("v").as("a"), col("u").as("b")))
+
+    def withMin(nb: DataFrame): DataFrame = {
+      val mins = nb.groupBy("a")
+        .agg(min(col("b")).as("minb"))
+        .select(col("a"), least(col("a"), col("minb")).as("m"))
+      nb.join(mins, "a")
+    }
+
+    var sig = signature(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star
+      val nb1 = neighbors(e)
+      val large = withMin(nb1)
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+      val e1 = canon(large.union(e.select(col("u"), col("v")))).localCheckpoint()
+      // NOTE: the classic formulation replaces the edge set with the
+      // large-star output alone; unioning the previous edges keeps
+      // correctness trivially (connectivity is preserved both ways) at
+      // the cost of a slightly larger intermediate — and small-star
+      // below contracts it again.
+
+      // small-star
+      val nb2 = neighbors(e1)
+      val small = withMin(nb2)
+        .filter(col("b") <= col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .union(withMin(nb2).select(col("a").as("u"), col("m").as("v")))
+      val e2 = canon(small).localCheckpoint()
+
+      val newSig = signature(e2)
+      converged = newSig == sig
+      sig = newSig
+      e = e2
+      iter += 1
+    }
+
+    // At convergence every component is a star rooted at its min id:
+    // component(v) = min neighbor (or itself for roots/isolated nodes).
+    val assign = neighbors(e).groupBy("a")
+      .agg(min(col("b")).as("minb"))
+      .select(col("a").as("id"), least(col("a"), col("minb")).as("component"))
+    vertices.join(assign, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+}

@@ -66,4 +66,61 @@ object Normalizer {
 
   def normToolSqlDuck(e: String): String =
     s"CASE WHEN $e IS NULL THEN NULL ELSE regexp_replace(lower($e), '[^a-z0-9]+', '_', 'g') END"
+
+  // ---------------------------------------------------------------------
+  // Address chain (reference semantics, RE2-portable formulation)
+  // ---------------------------------------------------------------------
+
+  /** Address abbreviation table — the `expand_abbr` config
+    * (configs/match.yaml + ABBR normalize_and_parse.py:11-32), ascii
+    * canonical subset. Applied after punctuation spacing, so `mah.`/`sk.`
+    * arrive as bare `mah`/`sk` tokens. */
+  val addressAbbr: Seq[(String, String)] = Seq(
+    ("mahallesi", "mahalle"), ("mah", "mahalle"), ("mh", "mahalle"),
+    ("caddesi", "cadde"), ("cad", "cadde"), ("cd", "cadde"),
+    ("sokagi", "sokak"), ("sok", "sokak"), ("sk", "sokak"),
+    ("bulv", "bulvar"), ("blv", "bulvar"),
+    ("apt", "apartman"))
+
+  /** The reference normalize chain for addresses
+    * (normalize_and_parse.py `clean_text`, P1/P10-P13 + ABBR), restated
+    * without lookarounds so the exact same semantics run under both Java
+    * regex (Spark) and RE2 (DuckDB oracle):
+    *
+    *  1. lowercase (tr_safe_lower's ascii projection)
+    *  2. punctuation after a letter -> space (`mah.` -> `mah `,
+    *     `no:12` -> `no 12`, covering RE_NO/daire/kat spacing)
+    *  3. non-numeric slash -> space (`kadikoy/istanbul` splits,
+    *     numeric `12/3` survives — normalize_and_parse.py:73-74)
+    *  4. word-bounded abbreviation expansion (ABBR table)
+    *  5. `d <num>` -> `daire <num>`, `k <num>` -> `kat <num>`
+    *     (normalize_and_parse.py:66-68)
+    *  6. whitespace collapse + trim
+    */
+  def normalizeAddress(c: Column): Column = {
+    val lowered = lower(c)
+    val punct = regexp_replace(lowered, "([a-z])[.,:;]", "$1 ")
+    val slash1 = regexp_replace(punct, "([a-z])/", "$1 ")
+    val slash2 = regexp_replace(slash1, "/([a-z])", " $1")
+    val expanded = addressAbbr.foldLeft(slash2) { case (acc, (abbr, full)) =>
+      regexp_replace(acc, s"\\b$abbr\\b", full)
+    }
+    val dnum = regexp_replace(expanded, "\\bd ([0-9])", "daire $1")
+    val knum = regexp_replace(dnum, "\\bk ([0-9])", "kat $1")
+    trim(regexp_replace(knum, " +", " "))
+  }
+
+  /** DuckDB mirror of [[normalizeAddress]]. */
+  def normalizeAddressSqlDuck(e: String): String = {
+    val lowered = s"lower($e)"
+    val punct = s"regexp_replace($lowered, '([a-z])[.,:;]', '\\1 ', 'g')"
+    val slash1 = s"regexp_replace($punct, '([a-z])/', '\\1 ', 'g')"
+    val slash2 = s"regexp_replace($slash1, '/([a-z])', ' \\1', 'g')"
+    val expanded = addressAbbr.foldLeft(slash2) { case (acc, (abbr, full)) =>
+      s"regexp_replace($acc, '\\b$abbr\\b', '$full', 'g')"
+    }
+    val dnum = s"regexp_replace($expanded, '\\bd ([0-9])', 'daire \\1', 'g')"
+    val knum = s"regexp_replace($dnum, '\\bk ([0-9])', 'kat \\1', 'g')"
+    s"trim(regexp_replace($knum, ' +', ' ', 'g'))"
+  }
 }

@@ -12,8 +12,8 @@ object Scores {
   /** digits_score (confidence.py:8-17): 100 if the digit-run sets of the
     * two texts intersect, else 0; 0 if either has no digits. */
   def digitsScore(l: Column, r: Column): Column = {
-    val ld = regexp_extract_all(l, lit("[0-9]+"))
-    val rd = regexp_extract_all(r, lit("[0-9]+"))
+    val ld = regexp_extract_all(l, lit("[0-9]+"), lit(0))
+    val rd = regexp_extract_all(r, lit("[0-9]+"), lit(0))
     when(size(ld) === 0 || size(rd) === 0, 0.0)
       .when(arrays_overlap(ld, rd), 100.0)
       .otherwise(0.0)
@@ -60,17 +60,29 @@ object Scores {
 
   // DuckDB mirrors -------------------------------------------------------
 
+  // (all fractional literals CAST to DOUBLE: bare decimals are DECIMAL
+  // in DuckDB and would silently switch the arithmetic off double math)
+
   def digitsScoreSqlDuck(l: String, r: String): String =
     s"""(CASE WHEN len(regexp_extract_all($l, '[0-9]+')) = 0
-       |        OR len(regexp_extract_all($r, '[0-9]+')) = 0 THEN 0.0
+       |        OR len(regexp_extract_all($r, '[0-9]+')) = 0 THEN CAST(0.0 AS DOUBLE)
        |      WHEN len(list_intersect(regexp_extract_all($l, '[0-9]+'),
-       |                              regexp_extract_all($r, '[0-9]+'))) > 0 THEN 100.0
-       |      ELSE 0.0 END)""".stripMargin.replaceAll("\n\\s*", " ")
+       |                              regexp_extract_all($r, '[0-9]+'))) > 0 THEN CAST(100.0 AS DOUBLE)
+       |      ELSE CAST(0.0 AS DOUBLE) END)""".stripMargin.replaceAll("\n\\s*", " ")
 
+  /** Mirrors [[haversineKm]]: 12742.0176 == 2 * 6371.0088 exactly in
+    * binary64 (doubling is exact), matching Spark's folded lit(2*R). */
   def haversineKmSqlDuck(lat1: String, lon1: String, lat2: String, lon2: String): String =
-    s"(2 * 6371.0088 * asin(sqrt(pow(sin((radians($lat2) - radians($lat1)) / 2), 2) + " +
-      s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2), 2))))"
+    s"(CAST(12742.0176 AS DOUBLE) * asin(sqrt(pow(sin((radians($lat2) - radians($lat1)) / CAST(2.0 AS DOUBLE)), 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / CAST(2.0 AS DOUBLE)), 2))))"
 
   def geoScoreKmSqlDuck(d: String, maxKm: Double): String =
-    s"(100.0 * (1.0 - least(greatest($d, 0.0), $maxKm) / $maxKm))"
+    s"(CAST(100.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - least(greatest($d, CAST(0.0 AS DOUBLE)), CAST($maxKm AS DOUBLE)) / CAST($maxKm AS DOUBLE)))"
+
+  def levRatioSqlDuck(l: String, r: String): String =
+    s"""(CASE WHEN length($l) = 0 AND length($r) = 0 THEN CAST(100.0 AS DOUBLE)
+       |      ELSE CAST(100.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) -
+       |           CAST(levenshtein($l, $r) AS DOUBLE) /
+       |           CAST(greatest(length($l), length($r)) AS DOUBLE))
+       | END)""".stripMargin.replaceAll("\n\\s*", " ")
 }

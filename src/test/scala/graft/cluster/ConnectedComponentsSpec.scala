@@ -1,0 +1,66 @@
+package graft.cluster
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop}
+
+/** CC correctness vs a brute-force union-find oracle (SURVEY.md §7.4
+  * risk 7), plus transitivity properties. */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def unionFind(edges: Seq[(Int, Int)], n: Int): Map[Int, Int] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // fully compress
+    (0 until n).map(i => i -> find(i)).toMap
+  }
+
+  private def ccSpark(edges: Seq[(Int, Int)]): Map[String, String] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+      .selectExpr("CAST(src AS STRING) AS src", "CAST(dst AS STRING) AS dst")
+    ConnectedComponents.run(df)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("property: large-star/small-star equals union-find on random graphs") {
+    val gen = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 60)
+      es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+    } yield (n, es)
+    val prop = Prop.forAllNoShrink(gen) { case (n, es) =>
+      val edges = es.filter { case (a, b) => a != b }
+      if (edges.isEmpty) true
+      else {
+        val uf = unionFind(edges, n)
+        val got = ccSpark(edges)
+        // compare only vertices present in the edge set; components are
+        // min-ids in both, but string vs int ordering differs — compare
+        // partition structure instead of representative values
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val gotParts = verts.groupBy(v => got(v.toString)).values.map(_.toSet).toSet
+        val ufParts = verts.groupBy(uf).values.map(_.toSet).toSet
+        gotParts == ufParts
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("deterministic: long chain + star + isolated self-loop") {
+    import spark.implicits._
+    // chain 0-1-2-...-9 (diameter stress), star 20<-21..25, self-loop 30
+    val edges = (0 until 9).map(i => (s"v${i}", s"v${i + 1}")) ++
+      (21 to 25).map(i => (s"v20", s"v$i")) :+ (("v30", "v30"))
+    val out = ConnectedComponents.run(edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((0 to 9).forall(i => out(s"v$i") == "v0"))
+    assert((21 to 25).forall(i => out(s"v$i") == "v20") && out("v20") == "v20")
+    assert(out("v30") == "v30") // self-loop-only vertex keeps own id
+  }
+}

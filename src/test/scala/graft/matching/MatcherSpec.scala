@@ -1,0 +1,96 @@
+package graft.matching
+
+import graft.SparkSpec
+import graft.cluster.ConnectedComponents
+import graft.fixtures.AddressFixture
+import graft.normalize.Normalizer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** E2E acceptance: the reference flow (normalize → block → match) on the
+  * labeled address fixture reaches pairwise F1 >= 0.99 at the shared
+  * blocking key (BASELINE.json `metric`), and transitive clustering
+  * recovers the latent entities exactly.
+  */
+class MatcherSpec extends SparkSpec {
+
+  private def norm(df: DataFrame): DataFrame =
+    df.withColumn("address_norm", Normalizer.normalizeAddress(col("address")))
+
+  /** Reference code defaults (match.py:96-115): token_set_ratio scorer,
+    * threshold 80, topk 1 — with digits+geo confidence active. */
+  private val cfg = MatchConfig(
+    scorer = "token_set_ratio", threshold = 80, topk = 1,
+    blockBy = "digits+prefix6", wText = 0.8, wDigits = 0.15, wGeo = 0.05)
+
+  test("pairwise F1 >= 0.99 on labeled pairs at the shared blocking key") {
+    val left = norm(AddressFixture.left(spark, sf001))
+    val right = norm(AddressFixture.right(spark, sf001, 1))
+    val m = Matcher.matchPairs(left, right, cfg,
+      idCol = "id", textCol = "address_norm", hasGeo = true).cache()
+    val n = left.count()
+    val tp = m.filter(col("right_id") === concat(lit("r"), col("left_id"))).count()
+    val fp = m.count() - tp
+    val fn = n - tp
+    val f1 = 2.0 * tp / (2.0 * tp + fp + fn)
+    info(s"n=$n tp=$tp fp=$fp fn=$fn F1=$f1")
+    assert(f1 >= 0.99, s"pairwise F1 $f1 below 0.99 (tp=$tp fp=$fp fn=$fn)")
+  }
+
+  test("threshold monotonicity: higher threshold never adds matches") {
+    val left = norm(AddressFixture.left(spark, sf0001))
+    val right = norm(AddressFixture.rightAll(spark, sf0001))
+    val lo = Matcher.matchPairs(left, right, cfg.copy(threshold = 60, topk = 5),
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    val hi = Matcher.matchPairs(left, right, cfg.copy(threshold = 90, topk = 5),
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    assert(hi.join(lo, Seq("left_id", "right_id"), "left_anti").count() == 0)
+  }
+
+  test("salting preserves exact match semantics") {
+    val left = norm(AddressFixture.left(spark, sf0001))
+    val right = norm(AddressFixture.rightAll(spark, sf0001))
+    val plain = Matcher.matchPairs(left, right, cfg.copy(topk = 3),
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    val salted = Matcher.matchPairs(left, right, cfg.copy(topk = 3, saltBuckets = 8),
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    assert(plain.exceptAll(salted).count() == 0 && salted.exceptAll(plain).count() == 0)
+  }
+
+  test("transitive clustering recovers latent entities (size-3 clusters)") {
+    val left = norm(AddressFixture.left(spark, sf0001))
+    val right = norm(AddressFixture.rightAll(spark, sf0001))
+    val m = Matcher.matchPairs(left, right, cfg.copy(topk = 2),
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    val clusters = ConnectedComponents.run(m, "left_id", "right_id").cache()
+    val n = left.count()
+    // every entity k forms exactly the cluster {k, rk, sk} rooted at k
+    val sizes = clusters.groupBy("component").count()
+    assert(sizes.count() == n, s"expected $n clusters")
+    assert(sizes.filter(col("count") =!= 3).count() == 0, "all clusters size 3")
+    val wrong = clusters.filter(
+      col("component") =!= regexp_replace(col("id"), "^[rs]", "")).count()
+    assert(wrong == 0, "cluster roots are the left entity ids")
+  }
+
+  test("unmatched anti-joins partition the inputs") {
+    val left = norm(AddressFixture.left(spark, sf0001))
+    val right = norm(AddressFixture.rightAll(spark, sf0001))
+    val m = Matcher.matchPairs(left, right, cfg.copy(topk = 2),
+      idCol = "id", textCol = "address_norm", hasGeo = true).cache()
+    val ul = Matcher.unmatchedLeft(left, m, "id")
+    val ur = Matcher.unmatchedRight(right, m, "id")
+    assert(ul.count() + m.select("left_id").distinct().count() == left.count())
+    assert(ur.count() + m.select("right_id").distinct().count() == right.count())
+  }
+
+  test("index mode zips positionally with score 1.0 (reference unit test)") {
+    import spark.implicits._
+    // replicates /root/reference/tests/test_match.py:6-29 semantics
+    val l = Seq(("0", "A Sokak 1"), ("1", "B Cadde 2")).toDF("id", "address")
+    val r = Seq(("0", "A Sokak 1 X"), ("1", "B Cadde 2 Y")).toDF("id", "address")
+    val out = Matcher.matchIndex(l, r).orderBy("left_id").collect()
+    assert(out.map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSeq ==
+      Seq(("0", "0", 1.0), ("1", "1", 1.0)))
+  }
+}
