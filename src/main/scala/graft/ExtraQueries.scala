@@ -1,0 +1,299 @@
+package graft
+
+import graft.ann.SimilaritySearch
+import graft.dedup.Dedup
+import graft.eda.Profiler
+import graft.fixtures.AddressFixture
+import graft.normalize.{Normalizer, ReferenceNormalizer}
+import graft.parse.PartsExtractor
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup / text-analysis / ANN / EDA / parse queries + DuckDB oracles —
+  * merged into SparkEntry.queries. Kept separate only for readability.
+  */
+object ExtraQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // DuckDB 60-bit md5 hash with seed prefix, over expression e
+  private def h60(e: String, seedExpr: String): String =
+    s"CAST(('0x' || substr(md5($seedExpr || ':' || $e), 1, 15)) AS BIGINT)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- dedup (D1, D2, D3 + scale family) ------------------------------
+    "d_dedup_exact" -> ((s, dir) => Dedup.exactRows(docs(s, dir))),
+    "d_dedup_norm" -> ((s, dir) =>
+      Dedup.byKeyDeterministic(
+        docs(s, dir).withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+        "fp", "doc_id").select("doc_id", "fp")),
+    "d_dup_flag" -> ((s, dir) =>
+      Dedup.dupFlag(docs(s, dir).select("doc_id", "lang", "source"),
+        Seq("lang", "source"), "is_dup")),
+    "d_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        k = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.5)),
+    "d_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))),
+    "d_simhash_pairs" -> ((s, dir) =>  // rows-only (band-join plumbing)
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 10)),
+    "d_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        Dedup.shingles(col("text"), 5).as("sh"))
+      d.as("a").join(d.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            size(array_union(col("a.sh"), col("b.sh"))).cast("double"), 6).as("jaccard"))
+    }),
+    // -- ANN over embeddings ---------------------------------------------
+    "v_ann_brute" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilaritySearch.bruteTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5)
+    }),
+    "v_ann_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilaritySearch.lshTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5, bits = 4)
+    }),
+    // -- text analysis ----------------------------------------------------
+    "x_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "x_quality" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.qualityColumns(col("text")).foldLeft(base) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }.drop("text")
+    }),
+    "x_token_counts" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.tokenCounts(col("text")).foldLeft(base) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }.drop("text")
+    }),
+    "x_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+    // -- EDA (A1-A7) -------------------------------------------------------
+    "g_value_counts" -> ((s, dir) => Profiler.valueCounts(docs(s, dir), "lang")),
+    "g_missing" -> ((s, dir) =>
+      Profiler.missingProfile(graft.transcripts.Transcripts.turns(s, dir).toDF())),
+    "g_len_stats" -> ((s, dir) => Profiler.lengthStats(docs(s, dir), "text")),
+    "g_histogram" -> ((s, dir) =>
+      Profiler.histogram(docs(s, dir), col("n_chars"), 50)),
+    "g_gini" -> ((s, dir) => Profiler.giniDiversity(docs(s, dir), "lang")),
+    "g_token_freq" -> ((s, dir) => Profiler.tokenFrequency(docs(s, dir), "text", 20)),
+    "g_bigrams" -> ((s, dir) => Profiler.bigramFrequency(docs(s, dir), "text", 20)),
+    "g_keywords" -> ((s, dir) =>
+      Profiler.keywordPresence(docs(s, dir), "text", Seq("spark", "merge", "window"))),
+    // -- parse battery -----------------------------------------------------
+    "p_parts_num" -> ((s, dir) =>
+      AddressFixture.rightAll(s, dir)
+        .withColumn("t", Normalizer.normalizeAddress(col("address")))
+        .select(col("id"),
+          regexp_extract(col("t"), "\\bno ([0-9]+)", 1).as("no"),
+          regexp_extract(col("t"), "\\bdaire ([0-9]+)", 1).as("daire"),
+          regexp_extract(col("t"), "\\bkat ([0-9]+)", 1).as("kat"))),
+    "p_parts_full" -> ((s, dir) =>  // rows-only: golden-tested UDF parity
+      AddressFixture.rightAll(s, dir)
+        .withColumn("c", ReferenceNormalizer.cleanText(col("address")))
+        .select(col("id"), PartsExtractor.parse_parts(col("c")).as("p"))
+        .select(col("id"), col("p.*")))
+  )
+
+  private def docsLangScoreDuck(ws: Seq[String]): String =
+    s"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '' AND t IN (${ws.map(w => s"'$w'").mkString(",")})))"
+
+  val oracleSql: Map[String, String] = Map(
+    "d_dedup_exact" -> "SELECT DISTINCT * FROM documents",
+    "d_dedup_norm" -> s"""
+      |WITH f AS (SELECT doc_id, ${TextAnalysis.fingerprintSqlDuck("text")} AS fp FROM documents)
+      |SELECT min(doc_id) AS doc_id, fp FROM f GROUP BY fp
+      |""".stripMargin,
+    "d_dup_flag" -> """
+      |SELECT doc_id, lang, source,
+      |       CAST(count(*) OVER (PARTITION BY lang, source) > 1 AS INT) AS is_dup
+      |FROM documents
+      |""".stripMargin,
+    "d_minhash_pairs" -> s"""
+      |WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 0)),
+      |                       i -> substring(text, CAST(i AS INT), 5))) AS sh
+      |  FROM documents
+      |), sig AS (
+      |  SELECT doc_id, sh,
+      |         list_transform(generate_series(0, 15), seed ->
+      |           list_min(list_transform(sh, s ->
+      |             CAST(('0x' || substr(md5(CAST(seed AS STRING) || ':' || s), 1, 15)) AS BIGINT)))) AS sig
+      |  FROM sh WHERE len(sh) > 0
+      |), bands AS (
+      |  SELECT doc_id, sh,
+      |         unnest(list_transform(generate_series(0, 3), b ->
+      |           CAST(b AS STRING) || '|' ||
+      |           md5(array_to_string(list_transform(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)],
+      |                                              x -> CAST(x AS STRING)), '_')))) AS band
+      |  FROM sig
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+      |)
+      |SELECT id_a, id_b,
+      |       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+      |             CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE), 6) AS jaccard
+      |FROM cand
+      |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= 0.5
+      |""".stripMargin,
+    "d_simhash" -> s"""
+      |WITH h AS (
+      |  SELECT doc_id,
+      |         list_transform(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+      |           t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(list_sum(list_transform(generate_series(0, 59), b ->
+      |    CASE WHEN len(list_filter(hs, x -> (x >> CAST(b AS INT)) & 1 = 1)) * 2 - len(hs) > 0
+      |         THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS sim
+      |FROM h
+      |""".stripMargin,
+    "d_ngram_jaccard" -> """
+      |WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 0)),
+      |                       i -> substring(text, CAST(i AS INT), 5))) AS sh
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+      |""".stripMargin,
+    "v_ann_brute" -> """
+      |WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT q.query_id, v.vec_id AS neighbor_id,
+      |         round(list_dot_product(q.qe, v.e) /
+      |               (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))), 6) AS cos
+      |  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM ranked WHERE rank <= 5
+      |""".stripMargin,
+    "v_ann_lsh" -> {
+      def plane(p: String, i: String) =
+        s"(CAST(('0x' || substr(md5('plane' || $p || ':' || CAST($i AS STRING)), 1, 8)) AS BIGINT)::DOUBLE / 2147483648.0 - 1.0)"
+      s"""
+      |WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, e,
+      |    CAST(list_sum(list_transform(generate_series(0, 3), p ->
+      |      CASE WHEN list_sum(list_transform(generate_series(0, len(e)-1), i ->
+      |                  e[CAST(i AS INT)+1] * ${plane("CAST(p AS STRING)", "i")})) >= 0
+      |           THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM v
+      |),
+      |q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT q.query_id, b.vec_id AS neighbor_id,
+      |         round(list_dot_product(q.qe, b.e) /
+      |               (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+      |  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.query_id
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM ranked WHERE rank <= 5
+      |""".stripMargin
+    },
+    "x_lang_id" -> s"SELECT doc_id, lang, ${TextAnalysis.langIdSqlDuck("text")} AS lang_pred FROM documents",
+    "x_quality" -> s"""
+      |SELECT doc_id,
+      |  length(text) AS char_len,
+      |  len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS word_len,
+      |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_count,
+      |  length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct_count,
+      |  round(CAST(${docsLangScoreDuck(TextAnalysis.langProfiles.flatMap(_._2).distinct)} AS DOUBLE) /
+      |        CAST(greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')), 1) AS DOUBLE), 6) AS stop_ratio,
+      |  CAST(length(text) < 10
+      |    OR len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) < 2
+      |    OR length(text) > 180
+      |    OR length(regexp_replace(text, '[^0-9]', '', 'g')) = 0 AS INT) AS is_suspicious
+      |FROM documents
+      |""".stripMargin,
+    "x_token_counts" -> """
+      |SELECT doc_id,
+      |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) +
+      |  len(regexp_extract_all(text, '[^a-zA-Z0-9_\s]')) AS bpe_ish_tokens
+      |FROM documents
+      |""".stripMargin,
+    "x_fingerprint" -> s"SELECT doc_id, ${TextAnalysis.fingerprintSqlDuck("text")} AS fp FROM documents",
+    "g_value_counts" -> "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+    "g_missing" -> {
+      val cte = graft.transcripts.Transcripts.oracleCte()
+      s"""WITH $cte
+         |SELECT CAST(sum(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS conv_id_nulls,
+         |       CAST(sum(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS turn_idx_nulls,
+         |       CAST(sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS role_nulls,
+         |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
+         |       CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tool_nulls,
+         |       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts_nulls
+         |FROM transcripts""".stripMargin
+    },
+    "g_len_stats" -> """
+      |SELECT count(*) AS n, min(length(text)) AS min_len, max(length(text)) AS max_len,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_len
+      |FROM documents
+      |""".stripMargin,
+    "g_histogram" -> """
+      |SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS cnt
+      |FROM documents GROUP BY 1
+      |""".stripMargin,
+    "g_gini" -> """
+      |WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
+      |SELECT 1.0::DOUBLE - CAST(sum(cnt*cnt) AS DOUBLE) / CAST(sum(cnt) * sum(cnt) AS DOUBLE) AS gini
+      |FROM c
+      |""".stripMargin,
+    "g_token_freq" -> """
+      |SELECT token, count(*) AS cnt FROM (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |  FROM documents
+      |) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
+      |""".stripMargin,
+    "g_bigrams" -> """
+      |SELECT bigram, count(*) AS cnt FROM (
+      |  SELECT unnest(list_transform(generate_series(1, len(toks)-1),
+      |           i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1])) AS bigram
+      |  FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |        FROM documents)
+      |) GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 20
+      |""".stripMargin,
+    "g_keywords" -> """
+      |SELECT CAST(sum(CASE WHEN regexp_matches(text, '\bspark\b') THEN 1 ELSE 0 END) AS BIGINT) AS kw_spark,
+      |       CAST(sum(CASE WHEN regexp_matches(text, '\bmerge\b') THEN 1 ELSE 0 END) AS BIGINT) AS kw_merge,
+      |       CAST(sum(CASE WHEN regexp_matches(text, '\bwindow\b') THEN 1 ELSE 0 END) AS BIGINT) AS kw_window
+      |FROM documents
+      |""".stripMargin,
+    "p_parts_num" -> {
+      val norm = Normalizer.normalizeAddressSqlDuck("address")
+      s"""WITH ${AddressFixture.leftCteDuck},
+         |${AddressFixture.rightCteDuck},
+         |n AS (SELECT id, $norm AS t FROM addr_right)
+         |SELECT id,
+         |  coalesce(regexp_extract(t, '\\bno ([0-9]+)', 1), '') AS no,
+         |  coalesce(regexp_extract(t, '\\bdaire ([0-9]+)', 1), '') AS daire,
+         |  coalesce(regexp_extract(t, '\\bkat ([0-9]+)', 1), '') AS kat
+         |FROM n""".stripMargin
+    }
+  )
+}

@@ -161,7 +161,7 @@ object SparkEntry {
       MatchConfig.reference, idCol = "conv_id", textCol = "text_norm")
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ExtraQueries.queries ++ Map(
     // Transcript derivation — per-turn text equality invariant under
     // stable (conv_id, turn_idx) ordering.
     "t_transcripts" -> ((s, dir) => turnsDF(s, dir)),
@@ -240,7 +240,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = ExtraQueries.oracleSql ++ Map(
     "a_left_norm" -> withAddrCtes(
       s"SELECT id, ${Normalizer.normalizeAddressSqlDuck("address")} AS address_norm, lat, lon FROM addr_left"),
     "a_right_norm" -> withAddrCtes(

@@ -1,0 +1,89 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`) — brute-force cosine top-k as the correctness
+  * baseline, random-hyperplane LSH bucketing as the scale path.
+  * Pure `zip_with`/`aggregate` Column math (codegen'd); no ml.linalg.
+  *
+  * Scale notes: brute force is a broadcast of the (small) query set
+  * against the full corpus — one pass, no shuffle except the final
+  * top-k window on query_id. The LSH path buckets the corpus by
+  * hyperplane sign bits so each query only scans its bucket
+  * (recall/latency trade controlled by `bits`); hyperplanes are
+  * deterministic md5-derived pseudo-vectors, so results are stable
+  * across runs and mirrorable in an oracle.
+  */
+object SimilaritySearch {
+
+  /** Dot product over two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null/zero-norm safe. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force cosine top-k: every query row against the full corpus.
+    * `queries` is expected to be small (broadcast). Output:
+    * (query_id, neighbor_id, rank, cos) with deterministic tie-break on
+    * neighbor id. */
+  def bruteTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * md5-derived per (plane, dim). */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane$plane:"), dim.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(2147483648.0)) - 1.0
+
+  /** LSH bucket id: sign bits of `bits` hyperplane projections. */
+  def lshBucket(vec: Column, bits: Int): Column =
+    Seq.tabulate(bits) { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN: queries only compare against corpus rows in the
+    * same bucket. Returns the same shape as [[bruteTopK]]. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), bits))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), bits))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+}

@@ -1,0 +1,163 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines —
+  * the reference's exact dedup family (D1-D3,
+  * clean_and_parse.py:264-273, suspiciousclean.py:48-54) plus the
+  * scale path: MinHash-LSH, SimHash and n-gram Jaccard near-dup
+  * detection, all in pure Column expressions (no ml.feature, no RDDs).
+  *
+  * Portable hashing: `h_seed(s) = first 60 bits of md5(seed || ':' || s)`
+  * — identical in Spark (`conv(substr(md5(..),1,15),16,10)`) and DuckDB
+  * (`CAST('0x' || substr(md5(..),1,15) AS BIGINT)`), so every stage has
+  * a DuckDB oracle. 60 bits keeps the value positive in a signed int64.
+  *
+  * Scale notes (100 TB): exact dedup is a single hash-shuffle on the
+  * 16-byte digest (never on the full text); MinHash-LSH is
+  * explode(bands) -> shuffle on (band, key) -> within-bucket pairing,
+  * with bucket size capped by the band width choice; all signatures are
+  * computed map-side in one pass over the text.
+  */
+object Dedup {
+
+  /** 60-bit md5-derived hash, seedable for independent hash functions. */
+  def portableHash(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10).cast("long")
+
+  def portableHashSqlDuck(e: String, seed: Int): String =
+    s"CAST(('0x' || substr(md5('$seed:' || $e), 1, 15)) AS BIGINT)"
+
+  // -- D1-D3: the reference's dedup family --------------------------------
+
+  /** D1 (clean_and_parse.py:264-267): exact full-row dedup. */
+  def exactRows(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** D2 (clean_and_parse.py:269-273) with a deterministic keeper: the
+    * pandas `keep="first"` depends on file order; distributed we pin
+    * "first" = smallest id (SURVEY.md §2.5). */
+  def byKeyDeterministic(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** D3 (clean_and_parse.py:215): duplicated(keep=False) flag. */
+  def dupFlag(df: DataFrame, keyCols: Seq[String], flagCol: String): DataFrame =
+    df.withColumn(flagCol,
+      (count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)) > 1).cast("int"))
+
+  // -- shingling / MinHash -------------------------------------------------
+
+  /** Character k-shingles (distinct) of a string column. */
+  def shingles(c: Column, k: Int): Column = {
+    val n = greatest(length(c) - (k - 1), lit(0))
+    array_distinct(transform(sequence(lit(1), n), i => c.substr(i, lit(k))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the min hash over the shingle set. Empty shingle set -> nulls. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
+      array_min(transform(shingleCol, s =>
+        conv(substring(md5(concat(cast_str(seed), lit(":"), s)), 1, 15), 16, 10)
+          .cast("long"))))
+
+  private def cast_str(c: Column): Column = c.cast("string")
+
+  /** LSH band keys: signature split into `bands` bands of equal width;
+    * key = md5 of the band's joined values. Two docs sharing any band
+    * key are candidates. */
+  def bandKeys(sigCol: Column, bands: Int, numHashes: Int): Column = {
+    val rowsPerBand = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat(cast_str(b), lit("|"),
+        md5(concat_ws("_",
+          transform(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand)), v => v.cast("string"))))))
+  }
+
+  /** End-to-end MinHash-LSH near-dup candidate pairs with exact n-gram
+    * Jaccard verification. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b, jaccard >= threshold.
+    *
+    * Shuffle plan: one explode+shuffle on band key (candidate gen),
+    * dedup of pairs, then a self-join on id to re-attach shingles for
+    * the exact verify — at scale the verify join is the expensive part
+    * and is bounded by the LSH candidate count, not n².
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      jaccardThreshold: Double = 0.6): DataFrame = {
+    val withShingles = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("sh", shingles(col("t"), k))
+      .filter(size(col("sh")) > 0)
+    val withBands = withShingles
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("band", explode(bandKeys(col("sig"), bands, numHashes)))
+    val cands = withBands.as("a").join(withBands.as("b"), Seq("band"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sh = withShingles.select(col("id"), col("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // -- SimHash -------------------------------------------------------------
+
+  /** 60-bit SimHash over whitespace tokens: per bit, net +1/-1 vote from
+    * each token-hash's bit, sign -> output bit. Pure Column expressions:
+    * the per-token bit votes are materialized once as an array, then
+    * summed with a single `aggregate` over a 60-slot counter vector
+    * (one pass over the token array). */
+  def simhash(c: Column): Column = {
+    val toks = filter(split(c, "\\s+"), t => t =!= "")
+    val hashes = transform(toks, t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    // per-token vote vector (literal shifts so codegen stays simple)
+    val voteVecs = transform(hashes, h =>
+      array(Seq.tabulate(60)(b =>
+        when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)): _*))
+    val votes = aggregate(
+      voteVecs,
+      array(Seq.fill(60)(lit(0)): _*),
+      (acc, v) => zip_with(acc, v, (a, x) => a + x))
+    Seq.tabulate(60)(b =>
+      when(element_at(votes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the 4 16-bit quarters (a pair
+    * within hamming distance <= 3 of 60 bits shares at least one
+    * quarter whp for our thresholds; classic Manku et al. trick is
+    * exact for <= bands-1 differing bits per band). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("sim", simhash(col("t")))
+    val blocked = withSim.withColumn("q", explode(array(Seq.tabulate(4)(q =>
+      concat(lit(s"$q|"),
+        shiftright(col("sim"), q * 15).bitwiseAND(lit(32767L)).cast("string"))): _*)))
+    blocked.as("a").join(blocked.as("b"), Seq("q"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sim"), col("b.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}
