@@ -221,6 +221,47 @@ object SparkEntry {
         .withColumn("f1",
           lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")))
     }),
+    // J13: keep_best_per_right (doc'd but unimplemented in the reference).
+    "m_keep_best" -> ((s, dir) => Matcher.keepBestPerRight(addrMatchLev(s, dir))),
+    // J17: enrichment preview joins.
+    "m_preview" -> ((s, dir) => Matcher.preview(
+      addrMatchLev(s, dir),
+      addrNorm(AddressFixture.left(s, dir)),
+      addrNorm(AddressFixture.rightAll(s, dir)),
+      idCol = "id", textCol = "address_norm")),
+    // J18: eval merge (gold vs predicted pairing, exact-match accuracy).
+    "e_eval_merge" -> ((s, dir) => {
+      val gold = AddressFixture.left(s, dir)
+        .select(col("id").as("left_id"), concat(lit("r"), col("id")).as("right_id"))
+      val pred = addrMatchLev(s, dir)
+        .filter(col("right_id").startsWith("r"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("left_id")).orderBy(col("score").desc, col("right_id").asc)
+      val best = pred.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      Matcher.evalMerge(gold, best)
+    }),
+    // W3: deterministic sampling (hash-order + limit; seed-stable).
+    "w_sample" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .orderBy(md5(col("doc_id").cast("string"))).limit(100).select("doc_id")),
+    // F4: low-confidence tagging + sample weight (suspiciousclean.py:57-59).
+    "f_lowconf" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), (length(col("text")) < 100).as("low"))
+        .select(col("doc_id"),
+          when(col("low"), "low_confidence").otherwise("ok").as("flag"),
+          when(col("low"), 0.5).otherwise(1.0).as("sample_weight"))),
+    // Multimodal plumbing: binary payload + metadata + stub decode.
+    "mm_media_stats" -> ((s, dir) => {
+      val m = graft.multimodal.Multimodal.byteHistogram(
+        graft.multimodal.Multimodal.decodeStub(
+          graft.multimodal.Multimodal.mediaTable(s, dir)))
+      m.select(col("doc_id"), col("n_bytes"),
+        col("decoded.width").as("width"), col("decoded.height").as("height"),
+        element_at(col("byte_hist"), 2).as("h_bin1"),
+        element_at(col("byte_hist"), 4).as("h_bin3"))
+    }),
     // Pairwise linkage metrics vs the latent entity ground truth (A9).
     "e_pair_metrics" -> ((s, dir) => {
       val m = matchJw(s, dir)
@@ -269,6 +310,57 @@ object SparkEntry {
          |SELECT l.id AS left_id, r.id AS right_id, CAST(1.0 AS DOUBLE) AS score
          |FROM l JOIN r USING (rn)
          |""".stripMargin),
+    "m_keep_best" -> withAddrCtes(
+      s"""
+         |, m AS ($addrMatchBody)
+         |SELECT left_id, right_id, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY right_id
+         |                               ORDER BY score DESC, left_id ASC) AS rn2
+         |  FROM m) WHERE rn2 = 1
+         |""".stripMargin),
+    "m_preview" -> withAddrCtes {
+      val norm = Normalizer.normalizeAddressSqlDuck("address")
+      s"""
+         |, m AS ($addrMatchBody),
+         |ln AS (SELECT id, $norm AS t FROM addr_left),
+         |rn AS (SELECT id, $norm AS t FROM addr_right)
+         |SELECT m.left_id, ln.t AS left_text, m.right_id, rn.t AS right_text, m.score
+         |FROM m LEFT JOIN ln ON m.left_id = ln.id LEFT JOIN rn ON m.right_id = rn.id
+         |""".stripMargin
+    },
+    "e_eval_merge" -> withAddrCtes(
+      s"""
+         |, m AS ($addrMatchBody),
+         |pred AS (
+         |  SELECT left_id, right_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY left_id
+         |                                 ORDER BY score DESC, right_id ASC) AS rn2
+         |    FROM m WHERE right_id LIKE 'r%') WHERE rn2 = 1),
+         |gold AS (SELECT id AS left_id, 'r' || id AS right_id FROM addr_left),
+         |j AS (SELECT gold.right_id AS gold_right, pred.right_id AS pred_right
+         |      FROM gold JOIN pred USING (left_id))
+         |SELECT count(*) AS n,
+         |       CAST(sum(CASE WHEN gold_right = pred_right THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+         |       CAST(sum(CASE WHEN gold_right = pred_right THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accuracy
+         |FROM j
+         |""".stripMargin),
+    "w_sample" ->
+      "SELECT doc_id FROM documents ORDER BY md5(CAST(doc_id AS STRING)) LIMIT 100",
+    "f_lowconf" -> """
+      |SELECT doc_id,
+      |       CASE WHEN length(text) < 100 THEN 'low_confidence' ELSE 'ok' END AS flag,
+      |       CASE WHEN length(text) < 100 THEN CAST(0.5 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS sample_weight
+      |FROM documents
+      |""".stripMargin,
+    "mm_media_stats" -> """
+      |SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CAST(length(text) % 640 + 1 AS INT) AS width,
+      |  CAST(length(text) % 480 + 1 AS INT) AS height,
+      |  len(list_filter(string_split(text, ''), c -> ascii(c) >= 32 AND ascii(c) < 64)) AS h_bin1,
+      |  len(list_filter(string_split(text, ''), c -> ascii(c) >= 96 AND ascii(c) < 128)) AS h_bin3
+      |FROM documents
+      |""".stripMargin,
     "e_addr_metrics" -> withAddrCtes(
       s"""
          |, m AS ($addrMatchBody),

@@ -155,6 +155,40 @@ object Matcher {
       .select(col("left_id"), col("right_id"), lit(1.0).as("score"))
   }
 
+  /** J13 `keep_best_per_right` — documented in
+    * README-ARCHITECTURE.md:85,213 but ABSENT from the reference's
+    * match.py (a doc/code divergence the survey flags); implemented here
+    * as the natural second window: best single left per right. */
+  def keepBestPerRight(matches: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("right_id"))
+      .orderBy(col("score").desc, col("left_id").asc)
+    matches.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** J17 enrichment preview (make_match_preview.py:15-33): matches
+    * joined back to both sides' text. */
+  def preview(
+      matches: DataFrame,
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text"): DataFrame =
+    matches
+      .join(left.select(col(idCol).as("left_id"), col(textCol).as("left_text")), Seq("left_id"), "left")
+      .join(right.select(col(idCol).as("right_id"), col(textCol).as("right_text")), Seq("right_id"), "left")
+      .select(col("left_id"), col("left_text"), col("right_id"), col("right_text"), col("score"))
+
+  /** J18 eval merge (eval.py:21-29): gold ⋈ pred on the left id, exact
+    * agreement accuracy. */
+  def evalMerge(gold: DataFrame, pred: DataFrame): DataFrame =
+    gold.select(col("left_id"), col("right_id").as("gold_right"))
+      .join(pred.select(col("left_id"), col("right_id").as("pred_right")), Seq("left_id"), "inner")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("gold_right") === col("pred_right"), 1L).otherwise(0L)).as("correct"))
+      .withColumn("accuracy", col("correct").cast("double") / col("n"))
+
   /** Unmatched rows (match.py:233-260): left/right anti-joins against the
     * match output. Cache `matches` before calling both sides. */
   def unmatchedLeft(left: DataFrame, matches: DataFrame, idCol: String = "id"): DataFrame =

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.cluster.ConnectedComponents
+import graft.io.TableIO
+import graft.matching.{MatchConfig, Matcher}
+import graft.normalize.Normalizer
+import graft.transcripts.Transcripts
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end record-linkage pipeline over transcript tables —
+  * the Spark rebuild of run_pipeline.py's normalize → match → preview
+  * flow (SURVEY.md §3.1) plus the north-rule clustering stage:
+  *
+  *   turns → conv docs (stable (conv_id, turn_idx) order) → normalize →
+  *   block → score → threshold/topk → matches → connected components →
+  *   clusters, with every stage committed as a TableIO snapshot so the
+  *   whole pipeline resumes idempotently from the last committed stage
+  *   (the reference's per-process CSV handoff, upgraded to atomic
+  *   snapshot tables).
+  */
+object Pipeline {
+
+  case class StageResult(table: String, rows: Long, resumed: Boolean)
+  case class Result(stages: Seq[StageResult], matches: DataFrame, clusters: DataFrame)
+
+  def run(
+      spark: SparkSession,
+      sfDir: String,
+      workRoot: String,
+      cfg: MatchConfig = MatchConfig.reference,
+      variants: Int = 3): Result = {
+    val cfgHash = TableIO.lineageHash(Map(
+      "scorer" -> cfg.scorer, "threshold" -> cfg.threshold.toString,
+      "topk" -> cfg.topk.toString, "block" -> cfg.blockBy,
+      "variants" -> variants.toString))
+    def lineage(stage: String, extra: (String, String)*): Map[String, String] =
+      Map("input" -> sfDir, "stage" -> stage, "config" -> cfgHash) ++ extra
+
+    val (convNorm, r1) = TableIO.resumeOrCompute(spark, workRoot, "conv_norm",
+      lineage("conv_norm")) {
+      Transcripts.turns(spark, sfDir, variants).toDF()
+        .groupBy(col("conv_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+          x => x.getField("text")), "").as("doc"))
+        .select(
+          col("conv_id"),
+          regexp_extract(col("conv_id"), "c([0-9]+)_", 1).cast("bigint").as("entity_id"),
+          regexp_extract(col("conv_id"), "_([0-9]+)$", 1).cast("int").as("variant"),
+          Normalizer.normalize(col("doc")).as("text_norm"))
+    }
+
+    val (matches, r2) = TableIO.resumeOrCompute(spark, workRoot, "matches",
+      lineage("matches")) {
+      Matcher.matchPairs(
+        convNorm.filter(col("variant") === 0),
+        convNorm.filter(col("variant") > 0),
+        cfg, idCol = "conv_id", textCol = "text_norm")
+    }
+
+    val (clusters, r3) = TableIO.resumeOrCompute(spark, workRoot, "clusters",
+      lineage("clusters")) {
+      ConnectedComponents.run(matches, "left_id", "right_id")
+    }
+
+    Result(
+      Seq(
+        StageResult("conv_norm", convNorm.count(), r1),
+        StageResult("matches", matches.count(), r2),
+        StageResult("clusters", clusters.count(), r3)),
+      matches, clusters)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.pipeline.Pipeline
+import java.nio.file.{Files, Paths}
+
+class TableIOSpec extends SparkSpec {
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft_tableio").toString
+
+  test("commit -> read round trip with manifest metrics") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(4)
+    val c = TableIO.commitSnapshot(df, root, "t1", Map("input" -> "x"))
+    assert(c.snapshotId == 0L && c.rows == 100)
+    val back = TableIO.readTable(spark, root, "t1")
+    assert(back.count() == 100)
+    val manifest = Files.readString(Paths.get(c.path, "manifest.json"))
+    assert(manifest.contains("\"rows\": 100"))
+    assert(manifest.contains("\"partitions\":"))
+    assert(manifest.contains("lineage_hash"))
+  }
+
+  test("resumeOrCompute: same lineage resumes, changed lineage recomputes") {
+    import spark.implicits._
+    val root = tmpRoot()
+    var computes = 0
+    def job = { computes += 1; Seq((1, "a"), (2, "b")).toDF("id", "v") }
+    val (_, resumed1) = TableIO.resumeOrCompute(spark, root, "t", Map("k" -> "1"))(job)
+    val (_, resumed2) = TableIO.resumeOrCompute(spark, root, "t", Map("k" -> "1"))(job)
+    val (_, resumed3) = TableIO.resumeOrCompute(spark, root, "t", Map("k" -> "2"))(job)
+    assert(!resumed1 && resumed2 && !resumed3)
+    assert(computes == 2)
+    assert(TableIO.latestSnapshotId(root, "t").contains(1L))
+  }
+
+  test("pipeline: full run commits 3 stages; second run resumes all") {
+    val root = tmpRoot()
+    val first = Pipeline.run(spark, sf0001, root)
+    assert(first.stages.map(_.table) == Seq("conv_norm", "matches", "clusters"))
+    assert(first.stages.forall(!_.resumed))
+    assert(first.stages.forall(_.rows > 0))
+    val second = Pipeline.run(spark, sf0001, root)
+    assert(second.stages.forall(_.resumed), s"expected full resume: ${second.stages}")
+    // and results identical across the resume boundary
+    assert(first.stages.map(_.rows) == second.stages.map(_.rows))
+  }
+}
