@@ -1,0 +1,55 @@
+package graft
+
+import graft.matching.{MatchConfig, Matcher}
+import graft.normalize.Normalizer
+import graft.fixtures.AddressFixture
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the things SURVEY.md §4 promises Catalyst
+  * gives us must actually show up in the plan — column pruning to the
+  * parquet scan, single shuffle on the block key, whole-stage codegen
+  * around the scorer, no cartesian products.
+  */
+class PlanSpec extends SparkSpec {
+
+  // Execute first so AQE settles on the final plan (codegen annotations
+  // only appear on the final adaptive plan).
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("address match: scan pruned to c_custkey; no cartesian; scorer in codegen") {
+    val m = Matcher.matchPairs(
+      SparkEntry.addrNorm(AddressFixture.left(spark, sf0001)),
+      SparkEntry.addrNorm(AddressFixture.rightAll(spark, sf0001)),
+      MatchConfig(scorer = "lev_ratio", threshold = 75, topk = 3,
+        blockBy = "digits+prefix6", wDigits = 0.15, wGeo = 0.05),
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    val p = plan(m)
+    // column pruning: the parquet scan must read only c_custkey
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint>"), s"scan not pruned:\n$p")
+    assert(!p.contains("CartesianProduct"), "cartesian product in match plan")
+    assert(p.contains("codegen id"), "no codegen spans")
+    // exactly one equi-join on block_key feeding the scoring projection
+    assert(p.contains("block_key"), "join not keyed on block_key")
+  }
+
+  test("transcript match plan: single block-key shuffle join, window on left_id") {
+    val m = SparkEntry.matchJw(spark, sf0001)
+    val p = plan(m)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("codegen id"))
+    // topk window partitions by left_id (reuses hash partitioning family)
+    assert(p.contains("row_number"), "missing topk window")
+  }
+
+  test("broadcast picked for the small ANN query side") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val topk = graft.ann.SimilaritySearch.bruteTopK(
+      e, e.filter(col("vec_id") % 100 === 0), k = 5)
+    val p = plan(topk)
+    assert(p.contains("Broadcast"), s"ANN query side not broadcast:\n$p")
+  }
+}
