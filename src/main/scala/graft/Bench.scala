@@ -25,7 +25,11 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
+      // fixed partition count across core counts: identical plans and
+      // key->partition mapping, so the scaling comparison measures
+      // parallelism, not partitioning differences; 256 also keeps the
+      // skewed block-join balanced at 32 cores
+      .config("spark.sql.shuffle.partitions", 256)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -46,15 +50,16 @@ object Bench {
     * Returns the matches DataFrame; `candidatePairs` counts the scored
     * (post-block, pre-threshold) pairs the same plan evaluates. */
   private def transcriptMatch(s: SparkSession, dir: String): DataFrame = {
-    val conv = SparkEntryBench.convNormV(s, dir, variants = 6)
+    val conv = SparkEntryBench.convNormV(s, dir, variants = 12)
     Matcher.matchPairs(
       conv.filter(col("variant") === 0),
       conv.filter(col("variant") > 0),
-      MatchConfig.reference, idCol = "conv_id", textCol = "text_norm")
+      MatchConfig.reference.copy(saltBuckets = 8),
+      idCol = "conv_id", textCol = "text_norm")
   }
 
   private def transcriptCandidates(s: SparkSession, dir: String): Long = {
-    val conv = SparkEntryBench.convNormV(s, dir, variants = 6)
+    val conv = SparkEntryBench.convNormV(s, dir, variants = 12)
       .withColumn("bk", graft.blocking.BlockKeys.blockKey(col("text_norm"), "digits+prefix6"))
     conv.filter(col("variant") === 0).select(col("bk"))
       .join(conv.filter(col("variant") > 0).select(col("bk")), Seq("bk"))
@@ -70,11 +75,22 @@ object Bench {
       .join(side(AddressFixture.rightAll(s, dir)), Seq("bk")).count()
   }
 
+  /** addr match with 8-way salting — same semantics as
+    * SparkEntry.addrMatchLev (equivalence is tested), hot blocks split. */
+  private def addrMatchSalted(s: SparkSession, dir: String): DataFrame =
+    Matcher.matchPairs(
+      SparkEntry.addrNorm(AddressFixture.left(s, dir)),
+      SparkEntry.addrNorm(AddressFixture.rightAll(s, dir)),
+      MatchConfig(scorer = "lev_ratio", threshold = 75, topk = 3,
+        blockBy = "digits+prefix6", wDigits = 0.15, wGeo = 0.05,
+        geoMaxKm = 1.5, saltBuckets = 8),
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+
   private def queriesFor(s: SparkSession, dir: String): Seq[(String, () => Long)] = Seq(
     "match_transcripts_tsr" -> (() => transcriptMatch(s, dir).count()),
-    "match_addr_lev" -> (() => SparkEntry.addrMatchLev(s, dir).count()),
+    "match_addr_lev" -> (() => addrMatchSalted(s, dir).count()),
     "clusters_cc" -> (() =>
-      ConnectedComponents.run(SparkEntry.addrMatchLev(s, dir), "left_id", "right_id").count()),
+      ConnectedComponents.run(addrMatchSalted(s, dir), "left_id", "right_id").count()),
     "minhash_dedup" -> (() => ExtraQueries.queries("d_minhash_pairs")(s, dir).count()),
     "ann_brute" -> (() => ExtraQueries.queries("v_ann_brute")(s, dir).count()))
 
@@ -86,7 +102,7 @@ object Bench {
     try {
       val cands = transcriptCandidates(s, dir) + addrCandidates(s, dir)
       def job(): Long =
-        transcriptMatch(s, dir).count() + SparkEntry.addrMatchLev(s, dir).count()
+        transcriptMatch(s, dir).count() + addrMatchSalted(s, dir).count()
       job() // warmup
       val (_, t1) = time(job())
       val (_, t2) = time(job())
@@ -108,7 +124,7 @@ object Bench {
     }
     val cands = transcriptCandidates(s, dir) + addrCandidates(s, dir)
     val (_, matchSec) = time {
-      transcriptMatch(s, dir).count() + SparkEntry.addrMatchLev(s, dir).count()
+      transcriptMatch(s, dir).count() + addrMatchSalted(s, dir).count()
     }
     s.stop()
 

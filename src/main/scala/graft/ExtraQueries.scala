@@ -89,6 +89,13 @@ object ExtraQueries {
     "g_bigrams" -> ((s, dir) => Profiler.bigramFrequency(docs(s, dir), "text", 20)),
     "g_keywords" -> ((s, dir) =>
       Profiler.keywordPresence(docs(s, dir), "text", Seq("spark", "merge", "window"))),
+    // -- ML linkage baseline (J19): relational char-ngram TF-IDF 1-NN ----
+    "ml_tfidf_knn" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ml.TfIdf.cosineTopK(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 3, k = 1)
+    }),
     // -- parse battery -----------------------------------------------------
     "p_parts_num" -> ((s, dir) =>
       AddressFixture.rightAll(s, dir)
@@ -215,6 +222,36 @@ object ExtraQueries {
       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM ranked WHERE rank <= 5
       |""".stripMargin
     },
+    "ml_tfidf_knn" -> """
+      |WITH terms AS (
+      |  SELECT doc_id AS id,
+      |         unnest(list_transform(generate_series(1, greatest(length(text)-2, 0)),
+      |                i -> substring(text, CAST(i AS INT), 3))) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT id, term, CAST(count(*) AS DOUBLE) AS tf FROM terms GROUP BY id, term
+      |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents WHERE doc_id % 2 = 0),
+      |idf AS (
+      |  SELECT term, ln((1.0::DOUBLE + n_docs) / (1.0::DOUBLE + count(DISTINCT id))) + 1.0::DOUBLE AS idf
+      |  FROM tf, n WHERE id % 2 = 0 GROUP BY term, n_docs
+      |), wtd AS (
+      |  SELECT id, tf.term, tf.tf * idf.idf AS w FROM tf JOIN idf ON tf.term = idf.term
+      |), nrm AS (
+      |  SELECT id, sqrt(sum(w * w)) AS norm FROM wtd GROUP BY id
+      |), v AS (
+      |  SELECT wtd.id, term, w / norm AS weight FROM wtd JOIN nrm ON wtd.id = nrm.id
+      |), scored AS (
+      |  SELECT q.id AS test_id, t.id AS train_id, round(sum(q.weight * t.weight), 6) AS cos
+      |  FROM v q JOIN v t ON q.term = t.term
+      |  WHERE q.id % 2 = 1 AND t.id % 2 = 0
+      |  GROUP BY q.id, t.id
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY test_id
+      |                               ORDER BY cos DESC, train_id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT test_id, train_id, CAST(rank AS INT) AS rank, cos FROM ranked WHERE rank <= 1
+      |""".stripMargin,
     "x_lang_id" -> s"SELECT doc_id, lang, ${TextAnalysis.langIdSqlDuck("text")} AS lang_pred FROM documents",
     "x_quality" -> s"""
       |SELECT doc_id,

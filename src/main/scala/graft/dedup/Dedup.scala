@@ -86,6 +86,28 @@ object Dedup {
     * the exact verify — at scale the verify join is the expensive part
     * and is bounded by the LSH candidate count, not n².
     */
+  /** Relational MinHash signature: explode shingles, hash each once per
+    * seed (codegen'd row-at-a-time, no nested interpreted HOFs), partial
+    * min aggregation map-side, then reassemble the ordered signature
+    * array. Produces exactly the same signatures as
+    * [[minhashSignature]] (same seeded hash), but scales: the per-row
+    * work is flat expressions and the min-agg combines map-side, so the
+    * shuffle carries one (id, seed, min) row per band-hash, not the
+    * shingle sets. */
+  def minhashSignatureRelational(
+      withShingles: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = withShingles.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
+        col("s"))
+      .select(col("id"), col("seed"),
+        conv(substring(md5(concat(col("seed").cast("string"), lit(":"), col("s"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    exploded.groupBy("id", "seed").agg(min(col("h")).as("mh"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
+  }
+
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -97,8 +119,8 @@ object Dedup {
     val withShingles = df.select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("sh", shingles(col("t"), k))
       .filter(size(col("sh")) > 0)
-    val withBands = withShingles
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val withBands = withShingles.select(col("id"), col("sh"))
+      .join(minhashSignatureRelational(withShingles, numHashes), "id")
       .withColumn("band", explode(bandKeys(col("sig"), bands, numHashes)))
     val cands = withBands.as("a").join(withBands.as("b"), Seq("band"))
       .filter(col("a.id") < col("b.id"))

@@ -92,18 +92,31 @@ object Matcher {
     val l0 = prepped(left, "left")
     val r0 = prepped(right, "right")
 
-    // Salted, skew-aware equi-join on the block key. AQE skew-join covers
-    // runtime skew; explicit salting is available for known-degenerate
-    // key distributions (single-bucket mode at scale).
+    // Salted, skew-aware equi-join on the block key, with EXPLICIT
+    // repartitioning on the join key (north rule). The explicit
+    // repartition matters at scale: a block join is *exploding* (output
+    // rows >> input rows), so AQE's input-size-based partition
+    // coalescing would otherwise funnel a few-MB shuffle into a handful
+    // of tasks and serialize millions of scored pairs onto 2 cores —
+    // observed exactly that on the sf0.1 bench before this fix.
+    // AQE skew-join still splits runtime skew *within* the join;
+    // deterministic salting (saltBuckets > 1) additionally splits
+    // known-hot keys: left rows get salt = pmod(hash(left_id), S), right
+    // rows are replicated S times — exact same join semantics (tested),
+    // S-way parallelism per block key.
+    val parts = left.sparkSession.sessionState.conf.numShufflePartitions
     val joined =
       if (cfg.saltBuckets > 1) {
         val s = cfg.saltBuckets
         val lSalt = l0.withColumn("salt", pmod(hash(col("left_id")), lit(s)))
+          .repartition(parts, col("block_key"), col("salt"))
         val rSalt = r0.withColumn("salt",
           explode(sequence(lit(0), lit(s - 1))))
+          .repartition(parts, col("block_key"), col("salt"))
         lSalt.join(rSalt, Seq("block_key", "salt"), "inner").drop("salt")
       } else {
-        l0.join(r0, Seq("block_key"), "inner")
+        l0.repartition(parts, col("block_key"))
+          .join(r0.repartition(parts, col("block_key")), Seq("block_key"), "inner")
       }
 
     // Cheap pregate BEFORE the scorer (predicate order preserved).
