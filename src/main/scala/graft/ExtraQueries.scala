@@ -49,6 +49,9 @@ object ExtraQueries {
           round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
             size(array_union(col("a.sh"), col("b.sh"))).cast("double"), 6).as("jaccard"))
     }),
+    "d_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding",
+        bits = 4, threshold = 0.4)),
     // -- ANN over embeddings ---------------------------------------------
     "v_ann_brute" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -180,6 +183,27 @@ object ExtraQueries {
       |             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
       |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
       |""".stripMargin,
+    "d_embed_neardup" -> {
+      def plane(p: String, i: String) =
+        s"(CAST(('0x' || substr(md5('plane' || $p || ':' || CAST($i AS STRING)), 1, 8)) AS BIGINT)::DOUBLE / 2147483648.0 - 1.0)"
+      s"""
+      |WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, e,
+      |    CAST(list_sum(list_transform(generate_series(0, 3), p ->
+      |      CASE WHEN list_sum(list_transform(generate_series(0, len(e)-1), i ->
+      |                  e[CAST(i AS INT)+1] * ${plane("CAST(p AS STRING)", "i")})) >= 0
+      |           THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM v
+      |)
+      |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+      |       round(list_dot_product(x.e, y.e) /
+      |             (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+      |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      |WHERE list_dot_product(x.e, y.e) /
+      |      (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) >= 0.4
+      |""".stripMargin
+    },
     "v_ann_brute" -> """
       |WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0),

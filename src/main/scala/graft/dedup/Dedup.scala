@@ -161,6 +161,30 @@ object Dedup {
       .reduce((a, b) => a.bitwiseOR(b))
   }
 
+  // -- embedding-cosine near-dup -------------------------------------------
+
+  /** Embedding-cosine near-duplicate pairs: bucket the corpus by
+    * random-hyperplane sign bits (one bucket per vector, so buckets are
+    * disjoint and the self-join emits no duplicate pairs), pair within
+    * bucket, keep cosine >= threshold. Scale path: the shuffle key is the
+    * bucket id, so cost is sum over buckets of |bucket|² rather than n²;
+    * raise `bits` to shrink buckets (recall trades off exactly as in
+    * [[graft.ann.SimilaritySearch.lshTopK]]).
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 4, threshold: Double = 0.4): DataFrame = {
+    import graft.ann.SimilaritySearch.{cosine, lshBucket}
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("e"))
+      .withColumn("bucket", lshBucket(col("e"), bits))
+    v.as("a").join(v.as("b"), Seq("bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("cos", round(cosine(col("a.e"), col("b.e")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
