@@ -61,6 +61,11 @@ object ExtraQueries {
       val e = embs(s, dir)
       SimilaritySearch.lshTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5, bits = 4)
     }),
+    "v_ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilaritySearch.ivfTopK(e, e.filter(col("vec_id") % 100 === 0),
+        centroids = e.filter(col("vec_id") % 50 === 0), k = 5, nProbe = 2)
+    }),
     // -- text analysis ----------------------------------------------------
     "x_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang"),
@@ -246,6 +251,33 @@ object ExtraQueries {
       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM ranked WHERE rank <= 5
       |""".stripMargin
     },
+    "v_ann_ivf" -> """
+      |WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |cent AS (SELECT vec_id AS list_id, e AS ce FROM v WHERE vec_id % 50 = 0),
+      |asg AS (
+      |  SELECT v.vec_id, v.e, c.list_id,
+      |         row_number() OVER (PARTITION BY v.vec_id
+      |           ORDER BY round(list_dot_product(v.e, c.ce) /
+      |                    (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+      |                    c.list_id ASC) AS crank
+      |  FROM v CROSS JOIN cent c
+      |),
+      |lists AS (SELECT vec_id AS neighbor_id, e AS nv, list_id FROM asg WHERE crank = 1),
+      |probes AS (SELECT vec_id AS query_id, e AS qv, list_id FROM asg
+      |           WHERE crank <= 2 AND vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT p.query_id, l.neighbor_id,
+      |         round(list_dot_product(p.qv, l.nv) /
+      |               (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(l.nv, l.nv))), 6) AS cos
+      |  FROM lists l JOIN probes p USING (list_id)
+      |  WHERE l.neighbor_id <> p.query_id
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM ranked WHERE rank <= 5
+      |""".stripMargin,
     "ml_tfidf_knn" -> """
       |WITH terms AS (
       |  SELECT doc_id AS id,

@@ -69,6 +69,45 @@ object SimilaritySearch {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into inverted
+    * lists keyed by the nearest centroid; a query probes only the
+    * `nProbe` nearest centroids' lists. Centroids are passed in as a
+    * (small) DataFrame — callers pick a deterministic corpus sample so
+    * the index is reproducible and oracle-mirrorable.
+    *
+    * Scale notes: centroid assignment is a broadcast of the centroid
+    * set against corpus and queries (map-side, no shuffle); the probe
+    * join shuffles on `list_id`, so scan cost per query is
+    * nProbe/nList of the corpus instead of all of it. Returns the same
+    * shape as [[bruteTopK]]. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = centroids.select(col(idCol).as("list_id"), asDouble(col(vecCol)).as("ce"))
+    def assign(df: DataFrame, side: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(s"${side}_id")
+        .orderBy(col("ccos").desc, col("list_id").asc)
+      df.select(col(idCol).as(s"${side}_id"), asDouble(col(vecCol)).as(s"${side}_v"))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos", round(cosine(col(s"${side}_v"), col("ce")), 6))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(s"${side}_id"), col(s"${side}_v"), col("list_id"))
+    }
+    val lists = assign(corpus, "neighbor", 1)
+    val probes = assign(queries, "query", nProbe)
+    val scored = lists.join(probes, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("query_v"), col("neighbor_v")), 6))
+      // a (query, neighbor) pair can only meet once: corpus rows live in
+      // exactly one list, so no distinct needed
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: queries only compare against corpus rows in the
     * same bucket. Returns the same shape as [[bruteTopK]]. */
   def lshTopK(

@@ -22,7 +22,16 @@ case class MatchConfig(
     wGeo: Double = 0.2,
     geoMaxKm: Double = 1.5,
     semanticStopwords: Seq[String] = Nil,
-    saltBuckets: Int = 0) {
+    saltBuckets: Int = 0,
+    /** A block key is "hot" (and gets salted) when its candidate-pair
+      * volume |L_k|·|R_k| reaches this; cold keys skip the build-side
+      * replication entirely. */
+    saltHotPairs: Long = 65536L,
+    /** Pre-computed hot-key set (e.g. the block-key histogram a
+      * TableIO snapshot records at commit time as part of its
+      * per-partition metrics). When set, the matcher salts exactly these
+      * keys and skips the in-query detection scan. */
+    knownHotKeys: Option[Seq[String]] = None) {
   /** match.py:96-102 — 0..1 thresholds auto-scale to 0..100. */
   def thresholdScaled: Double = if (threshold <= 1.0) threshold * 100.0 else threshold
 }
@@ -70,22 +79,39 @@ object Matcher {
       textCol: String = "text",
       hasGeo: Boolean = false): DataFrame = {
     val scorer = FuzzFunctions.scorer(cfg.scorer)
+    // token_set_ratio hot path: tokenize/sort/dedup once per ROW, score
+    // pairs over the pre-sorted arrays (identical result, ~50× less
+    // per-pair allocation; see Fuzz.tokenSetRatioSorted)
+    val preTok = cfg.scorer.equalsIgnoreCase("token_set_ratio")
 
-    def prepped(df: DataFrame, side: String): DataFrame = {
-      var out = df
-        .withColumn("block_key", BlockKeys.blockKey(col(textCol), cfg.blockBy))
+    // SLIM pre-shuffle projection: id, text, block key, geo. The heavy
+    // derived columns (digit runs, sorted token set, pregate tokens) are
+    // added by [[heavyCols]] AFTER the exchange — shuffling precomputed
+    // arrays costs ~2-3× the bytes of the text they derive from, and on
+    // the salt-replicated build side that made the shuffle write the
+    // 32-core bottleneck (observed 8× executor-time inflation from
+    // memory-pressure spills). Recomputing per shuffled row is a few µs.
+    def prepped(df: DataFrame, side: String): DataFrame =
+      df.withColumn("block_key", BlockKeys.blockKey(col(textCol), cfg.blockBy))
         .select(
           Seq(col(idCol).as(s"${side}_id"), col(textCol).as(s"${side}_text"),
             col("block_key")) ++
             (if (hasGeo) Seq(col("lat").as(s"${side}_lat"), col("lon").as(s"${side}_lon"))
              else Nil): _*)
-      if (cfg.semanticStopwords.nonEmpty) {
+
+    /** Post-exchange per-row derivations (J5 right-side precompute,
+      * generalized): computed once per shuffled ROW, never per PAIR. */
+    def heavyCols(df: DataFrame, side: String): DataFrame = {
+      var out = df.withColumn(s"${side}_digit_runs", Scores.digitRuns(col(s"${side}_text")))
+      if (preTok)
+        out = out.withColumn(s"${side}_tokset",
+          FuzzFunctions.sortedTokenSet(col(s"${side}_text")))
+      if (cfg.semanticStopwords.nonEmpty)
         // match.py:81-84: token set minus semantic stopwords
         out = out.withColumn(s"${side}_toks",
           array_except(
             array_distinct(filter(split(col(s"${side}_text"), "\\s+"), t => t =!= "")),
             lit(cfg.semanticStopwords.toArray)))
-      }
       out
     }
 
@@ -99,25 +125,51 @@ object Matcher {
     // coalescing would otherwise funnel a few-MB shuffle into a handful
     // of tasks and serialize millions of scored pairs onto 2 cores —
     // observed exactly that on the sf0.1 bench before this fix.
-    // AQE skew-join still splits runtime skew *within* the join;
-    // deterministic salting (saltBuckets > 1) additionally splits
-    // known-hot keys: left rows get salt = pmod(hash(left_id), S), right
-    // rows are replicated S times — exact same join semantics (tested),
-    // S-way parallelism per block key.
+    // AQE skew-join still splits runtime skew *within* the join.
+    //
+    // Salting (saltBuckets > 1) is TARGETED: block keys whose
+    // candidate-pair volume |L_k|·|R_k| >= saltHotPairs are detected
+    // with a cheap pair of map-side-combined counts, and ONLY their
+    // rows are split — left rows get salt = pmod(hash(left_id), S),
+    // right rows are replicated S times. Cold keys keep salt 0 and are
+    // never replicated, so the build-side shuffle doesn't pay S× bytes
+    // for the (vast) cold tail. Exact same join semantics as a blanket
+    // salt (tested). At 10^12-turn scale the hot-key set is small by
+    // construction (it is the set of pathological blocks); if it ever
+    // exceeds the driver bound we fall back to blanket salting.
     val parts = left.sparkSession.sessionState.conf.numShufflePartitions
+    def plainJoin(): DataFrame =
+      heavyCols(l0.repartition(parts, col("block_key")), "left")
+        .join(heavyCols(r0.repartition(parts, col("block_key")), "right"),
+          Seq("block_key"), "inner")
+    def saltedJoin(hotPred: Option[Column]): DataFrame = {
+      val s = cfg.saltBuckets
+      val hotL = hotPred.getOrElse(lit(true))
+      val lSalt = heavyCols(
+        l0.withColumn("salt",
+          when(hotL, pmod(hash(col("left_id")), lit(s))).otherwise(lit(0)))
+          .repartition(parts, col("block_key"), col("salt")), "left")
+      val rSalt = heavyCols(
+        r0.withColumn("salt",
+          explode(sequence(lit(0),
+            when(hotPred.getOrElse(lit(true)), lit(s - 1)).otherwise(lit(0)))))
+          .repartition(parts, col("block_key"), col("salt")), "right")
+      lSalt.join(rSalt, Seq("block_key", "salt"), "inner").drop("salt")
+    }
     val joined =
       if (cfg.saltBuckets > 1) {
-        val s = cfg.saltBuckets
-        val lSalt = l0.withColumn("salt", pmod(hash(col("left_id")), lit(s)))
-          .repartition(parts, col("block_key"), col("salt"))
-        val rSalt = r0.withColumn("salt",
-          explode(sequence(lit(0), lit(s - 1))))
-          .repartition(parts, col("block_key"), col("salt"))
-        lSalt.join(rSalt, Seq("block_key", "salt"), "inner").drop("salt")
-      } else {
-        l0.repartition(parts, col("block_key"))
-          .join(r0.repartition(parts, col("block_key")), Seq("block_key"), "inner")
-      }
+        val hotKeys = cfg.knownHotKeys.map(_.toArray).getOrElse {
+          val lc = l0.groupBy("block_key").agg(count(lit(1)).as("nl"))
+          val rc = r0.groupBy("block_key").agg(count(lit(1)).as("nr"))
+          lc.join(rc, "block_key")
+            .filter(col("nl") * col("nr") >= cfg.saltHotPairs)
+            .select("block_key").limit(100001)
+            .collect().map(_.getString(0))
+        }
+        if (hotKeys.isEmpty) plainJoin()
+        else if (hotKeys.length > 100000) saltedJoin(None) // blanket fallback
+        else saltedJoin(Some(col("block_key").isin(hotKeys.toSeq: _*)))
+      } else plainJoin()
 
     // Cheap pregate BEFORE the scorer (predicate order preserved).
     val gated =
@@ -125,8 +177,10 @@ object Matcher {
         joined.filter(arrays_overlap(col("left_toks"), col("right_toks")))
       else joined
 
-    val textS = scorer(col("left_text"), col("right_text"))
-    val digitsS = Scores.digitsScore(col("left_text"), col("right_text"))
+    val textS =
+      if (preTok) FuzzFunctions.token_set_ratio_pretok(col("left_tokset"), col("right_tokset"))
+      else scorer(col("left_text"), col("right_text"))
+    val digitsS = Scores.digitsScoreArrays(col("left_digit_runs"), col("right_digit_runs"))
     val geoS: Column =
       if (hasGeo) {
         val d = Scores.haversineKm(col("left_lat"), col("left_lon"),
@@ -151,6 +205,24 @@ object Matcher {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cfg.topk)
       .select(col("left_id"), col("right_id"), col("score"))
+  }
+
+  /** The hot-block-key statistic for [[MatchConfig.knownHotKeys]]: block
+    * keys whose candidate-pair volume reaches `cfg.saltHotPairs`. In the
+    * production pipeline this is computed once when a normalize snapshot
+    * commits (TableIO per-partition metrics) and reused by every match
+    * over that snapshot. */
+  def hotBlockKeys(
+      left: DataFrame, right: DataFrame, cfg: MatchConfig,
+      textCol: String = "text"): Seq[String] = {
+    def keyed(df: DataFrame) = df
+      .withColumn("block_key", BlockKeys.blockKey(col(textCol), cfg.blockBy))
+      .groupBy("block_key").agg(count(lit(1)).as("n"))
+    keyed(left).withColumnRenamed("n", "nl")
+      .join(keyed(right).withColumnRenamed("n", "nr"), "block_key")
+      .filter(col("nl") * col("nr") >= cfg.saltHotPairs)
+      .select("block_key").limit(100001)
+      .collect().map(_.getString(0)).toSeq
   }
 
   /** Index mode (match.py:155-165): positional 1:1 zip of the first

@@ -74,6 +74,33 @@ case class TokenSortRatio(left: Expression, right: Expression) extends FuzzBinar
     copy(left = l, right = r)
 }
 
+/** `token_set_ratio` over PRE-TOKENIZED sorted-distinct token arrays
+  * (see [[Fuzz.tokenSetRatioSorted]]) — the block-join hot path:
+  * tokenization/sort/dedup runs once per ROW (as a Column expression
+  * before the join) instead of once per scored PAIR. Same result as
+  * [[TokenSetRatio]] on the joined text (property-tested). */
+case class TokenSetRatioPreTok(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.ArrayType
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, array<string>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Fuzz.tokenSetRatioSorted(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.similarity.Fuzz.tokenSetRatioSorted($a, $b)")
+  override def prettyName: String = "token_set_ratio_pretok"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Jaro-Winkler similarity, 0..1 (Spark has `levenshtein` built in but
   * no Jaro-Winkler; DuckDB's `jaro_winkler_similarity` is the oracle). */
 case class JaroWinkler(left: Expression, right: Expression) extends FuzzBinaryExpression {
@@ -98,6 +125,16 @@ object FuzzFunctions {
   def token_set_ratio(a: Column, b: Column): Column = GraftShim.column(TokenSetRatio(GraftShim.expression(a), GraftShim.expression(b)))
   def token_sort_ratio(a: Column, b: Column): Column = GraftShim.column(TokenSortRatio(GraftShim.expression(a), GraftShim.expression(b)))
   def jaro_winkler(a: Column, b: Column): Column = GraftShim.column(JaroWinkler(GraftShim.expression(a), GraftShim.expression(b)))
+  def token_set_ratio_pretok(a: Column, b: Column): Column =
+    GraftShim.column(TokenSetRatioPreTok(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** The once-per-row tokenization feeding [[token_set_ratio_pretok]]:
+    * whitespace-split, drop empties, distinct, binary sort — exactly the
+    * token set [[Fuzz.tokenSetRatio]] builds per pair. */
+  def sortedTokenSet(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    array_sort(array_distinct(filter(split(c, "\\s+"), t => t =!= "")))
+  }
 
   /** Named scorer registry; unknown names fall back to token_set_ratio,
     * exactly like `scorers.get(name, fuzz.token_set_ratio)` in match.py.

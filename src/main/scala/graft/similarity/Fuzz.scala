@@ -23,7 +23,12 @@ object Fuzz {
 
   /** Longest-common-subsequence length, bit-parallel (Allison–Dix).
     * Works on UTF-16 chars; inputs here are BMP-only (ASCII + Turkish).
-    */
+    *
+    * Hot-path note: pattern masks live in a flat Latin-1-indexed array
+    * (`Array[Array[Long]](256)`) with a boxed-map fallback only for
+    * chars ≥ 256 — the normalized corpus is ASCII, and a
+    * HashMap[Char,_] per call (boxing every char) measured ~10× slower
+    * than the scan itself. */
   def lcsLength(a: CharSequence, b: CharSequence): Int = {
     val m = a.length
     val n = b.length
@@ -32,11 +37,20 @@ object Fuzz {
     if (m > n) return lcsLength(b, a)
     val words = (m + 63) >>> 6
     // Pattern-match bitmasks for each distinct char of `a`.
-    val pm = new mutable.HashMap[Char, Array[Long]]()
+    val pmLatin = new Array[Array[Long]](256)
+    var pmWide: mutable.HashMap[Char, Array[Long]] = null
     var i = 0
     while (i < m) {
       val c = a.charAt(i)
-      val arr = pm.getOrElseUpdate(c, new Array[Long](words))
+      val arr =
+        if (c < 256) {
+          var x = pmLatin(c)
+          if (x == null) { x = new Array[Long](words); pmLatin(c) = x }
+          x
+        } else {
+          if (pmWide == null) pmWide = new mutable.HashMap[Char, Array[Long]]()
+          pmWide.getOrElseUpdate(c, new Array[Long](words))
+        }
       arr(i >>> 6) |= 1L << (i & 63)
       i += 1
     }
@@ -44,7 +58,11 @@ object Fuzz {
     val x = new Array[Long](words)
     var j = 0
     while (j < n) {
-      val mask = pm.getOrElse(b.charAt(j), null)
+      val cj = b.charAt(j)
+      val mask =
+        if (cj < 256) pmLatin(cj)
+        else if (pmWide != null) pmWide.getOrElse(cj, null)
+        else null
       if (mask != null) {
         // X = PM | R ; Y = X - ((R << 1) | 1) ; R = X & ~Y
         var carryIn = 1L // the "| 1" of (R << 1) | 1
@@ -104,15 +122,44 @@ object Fuzz {
     best
   }
 
-  private def splitTokens(s: String): Array[String] =
-    s.split("\\s+").filter(_.nonEmpty)
+  /** Whitespace tokenizer, hand-rolled: `String.split("\\s+")` compiles
+    * the regex on EVERY call (~200µs measured on 300-char docs) — 10-40×
+    * the cost of the similarity computation itself. Splits on
+    * `Character.isWhitespace` (a superset of regex `\s` only outside
+    * ASCII, where the two agree; corpus is ASCII post-normalize). */
+  private[similarity] def splitTokens(s: String): Array[String] = {
+    val n = s.length
+    val out = new java.util.ArrayList[String](16)
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) out.add(s.substring(start, i))
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  /** Sorted distinct tokens (the "token set"). */
+  private def sortedUniqueTokens(s: String): Array[String] = {
+    val t = splitTokens(s)
+    java.util.Arrays.sort(t.asInstanceOf[Array[AnyRef]])
+    var w = 0
+    var i = 0
+    while (i < t.length) {
+      if (w == 0 || t(i) != t(w - 1)) { t(w) = t(i); w += 1 }
+      i += 1
+    }
+    if (w == t.length) t else java.util.Arrays.copyOf(t.asInstanceOf[Array[AnyRef]], w)
+      .asInstanceOf[Array[String]]
+  }
 
   /** rapidfuzz `fuzz.token_sort_ratio`: ratio over whitespace-tokenized,
     * lexicographically sorted, space-rejoined strings. */
   def tokenSortRatio(a: String, b: String): Double = {
-    val sa = splitTokens(a).sorted.mkString(" ")
-    val sb = splitTokens(b).sorted.mkString(" ")
-    ratio(sa, sb)
+    val ta = splitTokens(a); java.util.Arrays.sort(ta.asInstanceOf[Array[AnyRef]])
+    val tb = splitTokens(b); java.util.Arrays.sort(tb.asInstanceOf[Array[AnyRef]])
+    ratio(ta.mkString(" "), tb.mkString(" "))
   }
 
   /** rapidfuzz `fuzz.token_set_ratio`. Tokenize on whitespace into
@@ -124,20 +171,195 @@ object Fuzz {
     * intersection). Mirrors rapidfuzz's C++ `token_set_ratio`.
     */
   def tokenSetRatio(a: String, b: String): Double = {
-    val ta = splitTokens(a).toSet
-    val tb = splitTokens(b).toSet
-    val sect = ta.intersect(tb)
-    val diffAb = ta.diff(tb)
-    val diffBa = tb.diff(ta)
-    if (sect.nonEmpty && (diffAb.isEmpty || diffBa.isEmpty)) return 100.0
-    val abJoined = diffAb.toArray.sorted.mkString(" ")
-    val baJoined = diffBa.toArray.sorted.mkString(" ")
-    val sectLen = if (sect.isEmpty) 0 else sect.toArray.map(_.length).sum + sect.size - 1
+    // merge-walk over the two sorted unique token arrays: one pass
+    // yields the intersection length and the joined set-differences
+    // (everything already sorted — no Set allocation on the hot path)
+    val ta = sortedUniqueTokens(a)
+    val tb = sortedUniqueTokens(b)
+    var i = 0
+    var j = 0
+    var sectN = 0
+    var sectChars = 0
+    val abB = new java.lang.StringBuilder
+    val baB = new java.lang.StringBuilder
+    while (i < ta.length && j < tb.length) {
+      val c = ta(i).compareTo(tb(j))
+      if (c == 0) { sectN += 1; sectChars += ta(i).length; i += 1; j += 1 }
+      else if (c < 0) {
+        if (abB.length > 0) abB.append(' ')
+        abB.append(ta(i)); i += 1
+      } else {
+        if (baB.length > 0) baB.append(' ')
+        baB.append(tb(j)); j += 1
+      }
+    }
+    while (i < ta.length) {
+      if (abB.length > 0) abB.append(' ')
+      abB.append(ta(i)); i += 1
+    }
+    while (j < tb.length) {
+      if (baB.length > 0) baB.append(' ')
+      baB.append(tb(j)); j += 1
+    }
+    if (sectN > 0 && (abB.length == 0 || baB.length == 0)) return 100.0
+    val abJoined = abB.toString
+    val baJoined = baB.toString
+    val sectLen = if (sectN == 0) 0 else sectChars + sectN - 1
     val sectSep = if (sectLen > 0) 1 else 0
     val sectAbLen = sectLen + (if (abJoined.isEmpty) 0 else sectSep + abJoined.length)
     val sectBaLen = sectLen + (if (baJoined.isEmpty) 0 else sectSep + baJoined.length)
     // ratio(sect+" "+ab, sect+" "+ba): shared prefix contributes no edits
     val dist = indelDistance(abJoined, baJoined) // suffix-only edits
+    val denom = sectAbLen + sectBaLen
+    var best = if (denom == 0) 100.0 else 100.0 * (1.0 - dist.toDouble / denom)
+    if (sectLen > 0) {
+      val r1 = 100.0 * (1.0 - (sectAbLen - sectLen).toDouble / (sectLen + sectAbLen))
+      val r2 = 100.0 * (1.0 - (sectBaLen - sectLen).toDouble / (sectLen + sectBaLen))
+      if (r1 > best) best = r1
+      if (r2 > best) best = r2
+    }
+    best
+  }
+
+  // -- pre-tokenized fast path --------------------------------------------
+  //
+  // The block join scores each ROW against hundreds-to-thousands of
+  // candidates (hot blocks), but [[tokenSetRatio]] re-tokenizes and
+  // re-sorts both strings for every PAIR — at 32 cores that is a
+  // multi-GB/s allocation rate and the young-gen GC becomes the scaling
+  // bottleneck (measured: 8→32 cores at only 0.72 efficiency). The fast
+  // path moves tokenize+sort+dedup to a once-per-row Column expression
+  // (`array_sort(array_distinct(filter(split(...))))`) and scores pairs
+  // with a single merge-walk over the two sorted UTF8String arrays plus
+  // a byte-level LCS on the set differences — ~1KB garbage per pair.
+
+  /** LCS length over byte ranges (Allison–Dix, masks indexed by byte). */
+  def lcsLengthBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val m = a.length
+    val n = b.length
+    if (m == 0 || n == 0) return 0
+    if (m > n) return lcsLengthBytes(b, a)
+    val words = (m + 63) >>> 6
+    val pm = new Array[Array[Long]](256)
+    var i = 0
+    while (i < m) {
+      val c = a(i) & 0xff
+      var arr = pm(c)
+      if (arr == null) { arr = new Array[Long](words); pm(c) = arr }
+      arr(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    val r = new Array[Long](words)
+    var j = 0
+    while (j < n) {
+      val mask = pm(b(j) & 0xff)
+      if (mask != null) {
+        var carryIn = 1L
+        var borrow = 0L
+        var w = 0
+        while (w < words) {
+          val xw = mask(w) | r(w)
+          val shifted = (r(w) << 1) | carryIn
+          carryIn = r(w) >>> 63
+          val d1 = xw - shifted
+          val b1 = if (java.lang.Long.compareUnsigned(xw, shifted) < 0) 1L else 0L
+          val d2 = d1 - borrow
+          val b2 = if (borrow == 1L && d1 == 0L) 1L else 0L
+          borrow = b1 | b2
+          r(w) = xw & ~d2
+          w += 1
+        }
+      }
+      j += 1
+    }
+    var count = 0
+    var w = 0
+    while (w < words) { count += java.lang.Long.bitCount(r(w)); w += 1 }
+    count
+  }
+
+  /** [[tokenSetRatio]] over PRE-SORTED, PRE-DEDUPED token arrays (as
+    * produced by `array_sort(array_distinct(...))` — Spark's binary
+    * UTF8String ordering, which equals String order on ASCII). ASCII-only
+    * byte fast path; any non-ASCII token falls back to the scalar
+    * [[tokenSetRatio]]-equivalent computation on Strings, so results are
+    * identical either way (property-tested in FuzzSpec). */
+  def tokenSetRatioSorted(
+      ta: org.apache.spark.sql.catalyst.util.ArrayData,
+      tb: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = ta.numElements()
+    val nb = tb.numElements()
+    // non-ASCII anywhere (byte lengths ≠ char lengths, and UTF-8 binary
+    // order ≠ UTF-16 order) -> scalar fallback, identical semantics
+    var p = 0
+    while (p < na + nb) {
+      val s = if (p < na) ta.getUTF8String(p) else tb.getUTF8String(p - na)
+      var q = 0
+      val nbts = s.numBytes()
+      while (q < nbts) {
+        if (s.getByte(q) < 0) {
+          val a = (0 until na).map(ta.getUTF8String(_).toString).mkString(" ")
+          val b = (0 until nb).map(tb.getUTF8String(_).toString).mkString(" ")
+          return tokenSetRatio(a, b)
+        }
+        q += 1
+      }
+      p += 1
+    }
+    // pass 1: merge-walk for intersection stats + diff byte lengths
+    var i = 0
+    var j = 0
+    var sectN = 0
+    var sectBytes = 0
+    var abN = 0
+    var abBytes = 0
+    var baN = 0
+    var baBytes = 0
+    while (i < na && j < nb) {
+      val sa = ta.getUTF8String(i)
+      val sb = tb.getUTF8String(j)
+      val c = sa.binaryCompare(sb)
+      if (c == 0) { sectN += 1; sectBytes += sa.numBytes(); i += 1; j += 1 }
+      else if (c < 0) { abN += 1; abBytes += sa.numBytes(); i += 1 }
+      else { baN += 1; baBytes += sb.numBytes(); j += 1 }
+    }
+    while (i < na) { abN += 1; abBytes += ta.getUTF8String(i).numBytes(); i += 1 }
+    while (j < nb) { baN += 1; baBytes += tb.getUTF8String(j).numBytes(); j += 1 }
+    if (sectN > 0 && (abN == 0 || baN == 0)) return 100.0
+    // pass 2: fill the joined diff byte buffers
+    val abArr = new Array[Byte](if (abN == 0) 0 else abBytes + abN - 1)
+    val baArr = new Array[Byte](if (baN == 0) 0 else baBytes + baN - 1)
+    def fill(src: org.apache.spark.sql.catalyst.util.ArrayData,
+        other: org.apache.spark.sql.catalyst.util.ArrayData,
+        out: Array[Byte]): Unit = {
+      var ii = 0
+      var jj = 0
+      var pos = 0
+      val n1 = src.numElements()
+      val n2 = other.numElements()
+      while (ii < n1) {
+        val s = src.getUTF8String(ii)
+        var c = -1
+        while (jj < n2 && { c = s.binaryCompare(other.getUTF8String(jj)); c > 0 }) jj += 1
+        if (jj < n2 && c == 0) { ii += 1; jj += 1 } // in intersection
+        else {
+          if (pos > 0) { out(pos) = ' '; pos += 1 }
+          var k = 0
+          val nbts = s.numBytes()
+          while (k < nbts) { out(pos) = s.getByte(k); pos += 1; k += 1 }
+          ii += 1
+        }
+      }
+    }
+    fill(ta, tb, abArr)
+    fill(tb, ta, baArr)
+    val abLen = abArr.length
+    val baLen = baArr.length
+    val sectLen = if (sectN == 0) 0 else sectBytes + sectN - 1
+    val sectSep = if (sectLen > 0) 1 else 0
+    val sectAbLen = sectLen + (if (abLen == 0) 0 else sectSep + abLen)
+    val sectBaLen = sectLen + (if (baLen == 0) 0 else sectSep + baLen)
+    val dist = abLen + baLen - 2 * lcsLengthBytes(abArr, baArr)
     val denom = sectAbLen + sectBaLen
     var best = if (denom == 0) 100.0 else 100.0 * (1.0 - dist.toDouble / denom)
     if (sectLen > 0) {

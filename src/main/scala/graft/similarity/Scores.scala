@@ -19,6 +19,18 @@ object Scores {
       .otherwise(0.0)
   }
 
+  /** Per-row digit-run extraction for [[digitsScoreArrays]] — hoists the
+    * two regex scans out of the pair loop: computed once per ROW before
+    * the block join instead of twice per scored PAIR (the join output is
+    * orders of magnitude larger than its inputs). */
+  def digitRuns(c: Column): Column = regexp_extract_all(c, lit("[0-9]+"), lit(0))
+
+  /** [[digitsScore]] over pre-extracted digit-run arrays (same result). */
+  def digitsScoreArrays(ld: Column, rd: Column): Column =
+    when(size(ld) === 0 || size(rd) === 0, 0.0)
+      .when(arrays_overlap(ld, rd), 100.0)
+      .otherwise(0.0)
+
   /** haversine_km (confidence.py:20-29), R=6371.0088. */
   def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
     val R = 6371.0088

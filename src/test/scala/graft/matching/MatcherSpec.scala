@@ -52,9 +52,17 @@ class MatcherSpec extends SparkSpec {
     val right = norm(AddressFixture.rightAll(spark, sf0001))
     val plain = Matcher.matchPairs(left, right, cfg.copy(topk = 3),
       idCol = "id", textCol = "address_norm", hasGeo = true)
-    val salted = Matcher.matchPairs(left, right, cfg.copy(topk = 3, saltBuckets = 8),
+    // saltHotPairs = 1 forces EVERY key hot -> full replication path
+    val salted = Matcher.matchPairs(left, right,
+      cfg.copy(topk = 3, saltBuckets = 8, saltHotPairs = 1L),
       idCol = "id", textCol = "address_norm", hasGeo = true)
     assert(plain.exceptAll(salted).count() == 0 && salted.exceptAll(plain).count() == 0)
+    // default threshold: hot-key detection finds no hot keys on this
+    // small fixture and the join degenerates to the plain path — still
+    // exactly the same output
+    val adaptive = Matcher.matchPairs(left, right, cfg.copy(topk = 3, saltBuckets = 8),
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    assert(plain.exceptAll(adaptive).count() == 0 && adaptive.exceptAll(plain).count() == 0)
   }
 
   test("transitive clustering recovers latent entities (size-3 clusters)") {

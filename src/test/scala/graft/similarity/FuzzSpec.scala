@@ -110,6 +110,37 @@ class FuzzSpec extends SparkSpec {
     assert(out(3).isNullAt(0)) // null propagates
   }
 
+  test("property: pre-tokenized token_set_ratio equals scalar (ASCII + Turkish)") {
+    // Turkish chars exercise the non-ASCII scalar fallback inside
+    // tokenSetRatioSorted; spaces make multi-token strings.
+    val chars = Gen.oneOf("abcçğıö 019./".toSeq)
+    val str = Gen.chooseNum(0, 80).flatMap(n => Gen.stringOfN(n, chars))
+    check(Prop.forAll(str, str) { (a: String, b: String) =>
+      def sortedSet(s: String) = {
+        val t = s.split("\\s+").filter(_.nonEmpty).distinct.sorted
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          t.map(org.apache.spark.unsafe.types.UTF8String.fromString(_)).toArray[Any])
+      }
+      val fast = Fuzz.tokenSetRatioSorted(sortedSet(a), sortedSet(b))
+      math.abs(fast - Fuzz.tokenSetRatio(a, b)) < 1e-12
+    })
+  }
+
+  test("pretok expression in-plan agrees with scalar scorer") {
+    import spark.implicits._
+    import graft.similarity.FuzzFunctions._
+    val df = Seq(
+      ("fuzzy was a bear", "fuzzy fuzzy was a bear"),
+      ("örnek mahalle atatürk cadde no 12", "atatürk cad no 12 örnek mah"),
+      ("a b c", ""),
+      ("", "")
+    ).toDF("a", "b")
+    val out = df.select(
+      token_set_ratio_pretok(sortedTokenSet($"a"), sortedTokenSet($"b")).as("fast"),
+      token_set_ratio($"a", $"b").as("slow")).collect()
+    out.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12, r.toString))
+  }
+
   test("SQL registration works") {
     FuzzFunctions.register(spark)
     val r = spark.sql(
