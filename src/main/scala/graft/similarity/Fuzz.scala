@@ -233,26 +233,63 @@ object Fuzz {
   // with a single merge-walk over the two sorted UTF8String arrays plus
   // a byte-level LCS on the set differences — ~1KB garbage per pair.
 
-  /** LCS length over byte ranges (Allison–Dix, masks indexed by byte). */
-  def lcsLengthBytes(a: Array[Byte], b: Array[Byte]): Int = {
-    val m = a.length
-    val n = b.length
-    if (m == 0 || n == 0) return 0
-    if (m > n) return lcsLengthBytes(b, a)
-    val words = (m + 63) >>> 6
-    val pm = new Array[Array[Long]](256)
+  /** Per-thread reusable buffers for the byte-level scoring path. At
+    * ~2M scored pairs/sec × 32 threads, per-pair allocation is a
+    * multi-GB/s garbage rate and young-gen GC becomes the scaling
+    * bottleneck; the scratch turns the hot loop allocation-free.
+    * Mask reuse is generation-stamped: a mask row is lazily zeroed the
+    * first time its byte value appears in a call, so resetting costs
+    * O(distinct bytes used), not O(256 × words). */
+  private final class Scratch {
+    val masks = new Array[Array[Long]](256)
+    val gen = new Array[Int](256)
+    var curGen = 0
+    var r: Array[Long] = new Array[Long](16)
+    var ab: Array[Byte] = new Array[Byte](1024)
+    var ba: Array[Byte] = new Array[Byte](1024)
+    def ensure(buf: Array[Byte], n: Int): Array[Byte] =
+      if (buf.length >= n) buf
+      else {
+        var cap = buf.length
+        while (cap < n) cap <<= 1
+        new Array[Byte](cap)
+      }
+  }
+  private val scratchTL = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
+  /** LCS length over byte ranges (Allison–Dix, masks indexed by byte),
+    * scratch-buffered. Only the first `aLen`/`bLen` bytes are read. */
+  private def lcsBytesScratch(
+      sc: Scratch, a: Array[Byte], aLen: Int, b: Array[Byte], bLen: Int): Int = {
+    if (aLen == 0 || bLen == 0) return 0
+    if (aLen > bLen) return lcsBytesScratch(sc, b, bLen, a, aLen)
+    val words = (aLen + 63) >>> 6
+    sc.curGen += 1
+    val g = sc.curGen
     var i = 0
-    while (i < m) {
+    while (i < aLen) {
       val c = a(i) & 0xff
-      var arr = pm(c)
-      if (arr == null) { arr = new Array[Long](words); pm(c) = arr }
+      var arr = sc.masks(c)
+      if (arr == null || arr.length < words) {
+        arr = new Array[Long](words)
+        sc.masks(c) = arr
+        sc.gen(c) = g
+      } else if (sc.gen(c) != g) {
+        java.util.Arrays.fill(arr, 0, words, 0L)
+        sc.gen(c) = g
+      }
       arr(i >>> 6) |= 1L << (i & 63)
       i += 1
     }
-    val r = new Array[Long](words)
+    if (sc.r.length < words) sc.r = new Array[Long](words << 1)
+    val r = sc.r
+    java.util.Arrays.fill(r, 0, words, 0L)
     var j = 0
-    while (j < n) {
-      val mask = pm(b(j) & 0xff)
+    while (j < bLen) {
+      val c = b(j) & 0xff
+      val mask = if (sc.gen(c) == g) sc.masks(c) else null
       if (mask != null) {
         var carryIn = 1L
         var borrow = 0L
@@ -277,6 +314,10 @@ object Fuzz {
     while (w < words) { count += java.lang.Long.bitCount(r(w)); w += 1 }
     count
   }
+
+  /** LCS length over byte arrays (test/API surface for the scratch path). */
+  def lcsLengthBytes(a: Array[Byte], b: Array[Byte]): Int =
+    lcsBytesScratch(scratchTL.get(), a, a.length, b, b.length)
 
   /** [[tokenSetRatio]] over PRE-SORTED, PRE-DEDUPED token arrays (as
     * produced by `array_sort(array_distinct(...))` — Spark's binary
@@ -326,9 +367,14 @@ object Fuzz {
     while (i < na) { abN += 1; abBytes += ta.getUTF8String(i).numBytes(); i += 1 }
     while (j < nb) { baN += 1; baBytes += tb.getUTF8String(j).numBytes(); j += 1 }
     if (sectN > 0 && (abN == 0 || baN == 0)) return 100.0
-    // pass 2: fill the joined diff byte buffers
-    val abArr = new Array[Byte](if (abN == 0) 0 else abBytes + abN - 1)
-    val baArr = new Array[Byte](if (baN == 0) 0 else baBytes + baN - 1)
+    // pass 2: fill the joined diff byte buffers (thread-local scratch)
+    val sc = scratchTL.get()
+    val abLen = if (abN == 0) 0 else abBytes + abN - 1
+    val baLen = if (baN == 0) 0 else baBytes + baN - 1
+    sc.ab = sc.ensure(sc.ab, abLen)
+    sc.ba = sc.ensure(sc.ba, baLen)
+    val abArr = sc.ab
+    val baArr = sc.ba
     def fill(src: org.apache.spark.sql.catalyst.util.ArrayData,
         other: org.apache.spark.sql.catalyst.util.ArrayData,
         out: Array[Byte]): Unit = {
@@ -353,13 +399,11 @@ object Fuzz {
     }
     fill(ta, tb, abArr)
     fill(tb, ta, baArr)
-    val abLen = abArr.length
-    val baLen = baArr.length
     val sectLen = if (sectN == 0) 0 else sectBytes + sectN - 1
     val sectSep = if (sectLen > 0) 1 else 0
     val sectAbLen = sectLen + (if (abLen == 0) 0 else sectSep + abLen)
     val sectBaLen = sectLen + (if (baLen == 0) 0 else sectSep + baLen)
-    val dist = abLen + baLen - 2 * lcsLengthBytes(abArr, baArr)
+    val dist = abLen + baLen - 2 * lcsBytesScratch(sc, abArr, abLen, baArr, baLen)
     val denom = sectAbLen + sectBaLen
     var best = if (denom == 0) 100.0 else 100.0 * (1.0 - dist.toDouble / denom)
     if (sectLen > 0) {
