@@ -39,8 +39,8 @@ object ExtraQueries {
         k = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.5)),
     "d_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))),
-    "d_simhash_pairs" -> ((s, dir) =>  // rows-only (band-join plumbing)
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 10)),
+    "d_simhash_pairs" -> ((s, dir) =>  // exact-recall pigeonhole blocking
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)),
     "d_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
         Dedup.shingles(col("text"), 5).as("sh"))
@@ -102,7 +102,7 @@ object ExtraQueries {
       val d = docs(s, dir)
       graft.ml.TfIdf.cosineTopK(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", n = 3, k = 1)
+        "doc_id", "text", n = 3, k = 1, minDf = 3L, maxDfRatio = 0.9)
     }),
     // -- parse battery -----------------------------------------------------
     "p_parts_num" -> ((s, dir) =>
@@ -175,6 +175,26 @@ object ExtraQueries {
       |    CASE WHEN len(list_filter(hs, x -> (x >> CAST(b AS INT)) & 1 = 1)) * 2 - len(hs) > 0
       |         THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS sim
       |FROM h
+      |""".stripMargin,
+    // brute-force oracle: blocked Spark result must equal ALL pairs
+    // within the hamming radius (recall is exact by pigeonhole)
+    "d_simhash_pairs" -> s"""
+      |WITH h AS (
+      |  SELECT doc_id,
+      |         list_transform(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+      |           t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+      |  FROM documents
+      |), sims AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(generate_series(0, 59), b ->
+      |      CASE WHEN len(list_filter(hs, x -> (x >> CAST(b AS INT)) & 1 = 1)) * 2 - len(hs) > 0
+      |           THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS sim
+      |  FROM h
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+      |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 6
       |""".stripMargin,
     "d_ngram_jaccard" -> """
       |WITH sh AS (
@@ -290,6 +310,8 @@ object ExtraQueries {
       |idf AS (
       |  SELECT term, ln((1.0::DOUBLE + n_docs) / (1.0::DOUBLE + count(DISTINCT id))) + 1.0::DOUBLE AS idf
       |  FROM tf, n WHERE id % 2 = 0 GROUP BY term, n_docs
+      |  HAVING count(DISTINCT id) >= 3
+      |     AND count(DISTINCT id) <= CAST(floor(0.9 * n_docs) AS BIGINT)
       |), wtd AS (
       |  SELECT id, tf.term, tf.tf * idf.idf AS w FROM tf JOIN idf ON tf.term = idf.term
       |), nrm AS (

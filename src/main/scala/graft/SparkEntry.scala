@@ -173,6 +173,37 @@ object SparkEntry {
         .filter(col("tool").isNotNull)
         .groupBy(Normalizer.normTool(col("tool")).as("tool_norm"))
         .agg(count(lit(1)).as("cnt"))),
+    // The flagship token_set_ratio scorer under driver checks (J6):
+    // (a) the pretok token arrays the hot path scores over are
+    // DuckDB-expressible — hash-checked end to end;
+    "m_tsr_pretok" -> ((s, dir) =>
+      convNorm(s, dir).select(col("conv_id"),
+        array_join(graft.similarity.FuzzFunctions.sortedTokenSet(col("text_norm")), " ")
+          .as("tokset"))),
+    // (b) the full flagship matchPairs path (TokenSetRatioPreTok
+    // in-plan) at threshold 0 = every blocked candidate pair, with the
+    // score INDEPENDENTLY recomputed via the scalar TokenSetRatio
+    // expression + a fresh digits score — `tsr_agree` must be 1 on
+    // every row (the pair list itself is the DuckDB-checkable part;
+    // the scalar-vs-pretok equality is the second-path score check).
+    "m_match_tsr_agree" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      val all = Matcher.matchPairs(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        MatchConfig.reference.copy(threshold = 0, topk = Int.MaxValue),
+        idCol = "conv_id", textCol = "text_norm")
+      val lt = conv.select(col("conv_id").as("left_id"), col("text_norm").as("lt"))
+      val rt = conv.select(col("conv_id").as("right_id"), col("text_norm").as("rt"))
+      val scalarTsr = graft.similarity.FuzzFunctions.token_set_ratio(col("lt"), col("rt"))
+      val digitsS = Scores.digitsScoreArrays(
+        Scores.digitRuns(col("lt")), Scores.digitRuns(col("rt")))
+      val recombined = Scores.combine(scalarTsr, digitsS,
+        lit(null).cast("double"), 0.8, 0.15, 0.05)
+      all.join(lt, "left_id").join(rt, "right_id")
+        .select(col("left_id"), col("right_id"),
+          (col("score") === recombined).cast("int").as("tsr_agree"))
+    }),
     // Blocking keys (J1, digits+prefix6 — the reference's configured mode).
     "b_block_keys" -> ((s, dir) =>
       convNorm(s, dir).select(col("conv_id"),
@@ -389,6 +420,20 @@ object SparkEntry {
     "b_block_keys" -> withCtes(
       s"""SELECT conv_id, ${BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)} AS block_key
          |FROM conv_norm""".stripMargin),
+    "m_tsr_pretok" -> withCtes(
+      """SELECT conv_id,
+        |       array_to_string(list_sort(list_distinct(
+        |         list_filter(string_split_regex(text_norm, '\s+'), t -> t <> ''))), ' ') AS tokset
+        |FROM conv_norm""".stripMargin),
+    "m_match_tsr_agree" -> withCtes(
+      s"""
+         |, sides AS (SELECT conv_id, variant, text_norm,
+         |            ${BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)} AS block_key
+         |            FROM conv_norm)
+         |SELECT l.conv_id AS left_id, r.conv_id AS right_id, 1 AS tsr_agree
+         |FROM sides l JOIN sides r ON l.block_key = r.block_key
+         |WHERE l.variant = 0 AND r.variant > 0
+         |""".stripMargin),
     "m_match_jw" -> matchJwOracle,
     "m_unmatched_left" -> withCtes(
       s"""

@@ -188,17 +188,39 @@ object Dedup {
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on the 4 16-bit quarters (a pair
-    * within hamming distance <= 3 of 60 bits shares at least one
-    * quarter whp for our thresholds; classic Manku et al. trick is
-    * exact for <= bands-1 differing bits per band). */
+  /** SimHash near-dup pairs with EXACT recall for the claimed radius:
+    * the 60-bit signature is split into `maxHamming + 1` contiguous
+    * blocks, so by pigeonhole any pair within hamming distance
+    * <= maxHamming has all its differing bits inside at most maxHamming
+    * blocks and therefore shares at least one block verbatim — the
+    * block value is the bucket key (Manku et al., WWW'07 §3, the
+    * single-table special case). Recall is 100%, precision is restored
+    * by the explicit hamming filter after the bucket join.
+    *
+    * Scale tradeoff (the honest one): more blocks = fewer bits per
+    * block (60/(k+1)) = hotter buckets — the per-bucket cost is
+    * Σ|bucket|², so the radius the single-table scheme supports shrinks
+    * as the corpus grows. At web scale, larger radii use Manku's
+    * multi-table variant (permute the signature, re-block, union the
+    * candidate sets), which trades T× storage/shuffle for T more
+    * tables; maxHamming <= 6 (7 blocks of 8-9 bits) is the practical
+    * single-table ceiling and the shipped default. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 6): DataFrame = {
+    val numBlocks = maxHamming + 1
+    require(numBlocks <= 30, s"maxHamming=$maxHamming leaves <2 bits per block")
+    // block b covers bits [off(b), off(b)+width(b)): first (60 % numBlocks)
+    // blocks get the extra bit
+    val base = 60 / numBlocks
+    val rem = 60 % numBlocks
+    val widths = Seq.tabulate(numBlocks)(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val withSim = df.select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("sim", simhash(col("t")))
-    val blocked = withSim.withColumn("q", explode(array(Seq.tabulate(4)(q =>
-      concat(lit(s"$q|"),
-        shiftright(col("sim"), q * 15).bitwiseAND(lit(32767L)).cast("string"))): _*)))
+    val blocked = withSim.withColumn("q", explode(array(Seq.tabulate(numBlocks)(b =>
+      concat(lit(s"$b|"),
+        shiftright(col("sim"), offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1)).cast("string"))): _*)))
     blocked.as("a").join(blocked.as("b"), Seq("q"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

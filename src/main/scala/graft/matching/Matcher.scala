@@ -128,47 +128,55 @@ object Matcher {
     // AQE skew-join still splits runtime skew *within* the join.
     //
     // Salting (saltBuckets > 1) is TARGETED: block keys whose
-    // candidate-pair volume |L_k|·|R_k| >= saltHotPairs are detected
-    // with a cheap pair of map-side-combined counts, and ONLY their
-    // rows are split — left rows get salt = pmod(hash(left_id), S),
-    // right rows are replicated S times. Cold keys keep salt 0 and are
-    // never replicated, so the build-side shuffle doesn't pay S× bytes
-    // for the (vast) cold tail. Exact same join semantics as a blanket
-    // salt (tested). At 10^12-turn scale the hot-key set is small by
-    // construction (it is the set of pathological blocks); if it ever
-    // exceeds the driver bound we fall back to blanket salting.
+    // candidate-pair volume |L_k|·|R_k| >= saltHotPairs are computed as
+    // a (small) DataFrame and BROADCAST-JOINED onto both sides as an
+    // `__is_hot` flag — no driver collect, no giant `isin` expression
+    // tree; the hot-key detection aggregations are ordinary subplans of
+    // the join. Only hot rows are split — left rows get salt =
+    // pmod(hash(left_id), S), right rows are replicated S times. Cold
+    // keys keep salt 0 and are never replicated, so the build-side
+    // shuffle doesn't pay S× bytes for the (vast) cold tail. Exact same
+    // join semantics as a blanket salt (tested). The hot set is small
+    // by construction (it is the set of pathological blocks); the
+    // `limit` caps the broadcast — any key beyond the cap simply stays
+    // unsalted (perf-only: AQE skew-join still splits it at runtime).
     val parts = left.sparkSession.sessionState.conf.numShufflePartitions
     def plainJoin(): DataFrame =
       heavyCols(l0.repartition(parts, col("block_key")), "left")
         .join(heavyCols(r0.repartition(parts, col("block_key")), "right"),
           Seq("block_key"), "inner")
-    def saltedJoin(hotPred: Option[Column]): DataFrame = {
+    def saltedJoin(hotFlag: DataFrame): DataFrame = {
       val s = cfg.saltBuckets
-      val hotL = hotPred.getOrElse(lit(true))
       val lSalt = heavyCols(
-        l0.withColumn("salt",
-          when(hotL, pmod(hash(col("left_id")), lit(s))).otherwise(lit(0)))
+        l0.join(hotFlag, Seq("block_key"), "left")
+          .withColumn("salt",
+            when(col("__is_hot"), pmod(hash(col("left_id")), lit(s))).otherwise(lit(0)))
+          .drop("__is_hot")
           .repartition(parts, col("block_key"), col("salt")), "left")
       val rSalt = heavyCols(
-        r0.withColumn("salt",
-          explode(sequence(lit(0),
-            when(hotPred.getOrElse(lit(true)), lit(s - 1)).otherwise(lit(0)))))
+        r0.join(hotFlag, Seq("block_key"), "left")
+          .withColumn("salt",
+            explode(sequence(lit(0),
+              when(col("__is_hot"), lit(s - 1)).otherwise(lit(0)))))
+          .drop("__is_hot")
           .repartition(parts, col("block_key"), col("salt")), "right")
       lSalt.join(rSalt, Seq("block_key", "salt"), "inner").drop("salt")
     }
     val joined =
       if (cfg.saltBuckets > 1) {
-        val hotKeys = cfg.knownHotKeys.map(_.toArray).getOrElse {
-          val lc = l0.groupBy("block_key").agg(count(lit(1)).as("nl"))
-          val rc = r0.groupBy("block_key").agg(count(lit(1)).as("nr"))
-          lc.join(rc, "block_key")
-            .filter(col("nl") * col("nr") >= cfg.saltHotPairs)
-            .select("block_key").limit(100001)
-            .collect().map(_.getString(0))
+        val hotDf = cfg.knownHotKeys match {
+          case Some(keys) =>
+            left.sparkSession
+              .createDataset(keys)(org.apache.spark.sql.Encoders.STRING)
+              .toDF("block_key")
+          case None =>
+            l0.groupBy("block_key").agg(count(lit(1)).as("nl"))
+              .join(r0.groupBy("block_key").agg(count(lit(1)).as("nr")), "block_key")
+              .filter(col("nl") * col("nr") >= cfg.saltHotPairs)
+              .select("block_key")
+              .limit(1000000)
         }
-        if (hotKeys.isEmpty) plainJoin()
-        else if (hotKeys.length > 100000) saltedJoin(None) // blanket fallback
-        else saltedJoin(Some(col("block_key").isin(hotKeys.toSeq: _*)))
+        saltedJoin(broadcast(hotDf.withColumn("__is_hot", lit(true))))
       } else plainJoin()
 
     // Cheap pregate BEFORE the scorer (predicate order preserved).
@@ -226,15 +234,37 @@ object Matcher {
   }
 
   /** Index mode (match.py:155-165): positional 1:1 zip of the first
-    * min(|L|,|R|) rows under an explicit stable ordering, score 1.0. */
+    * min(|L|,|R|) rows under an explicit stable ordering, score 1.0.
+    *
+    * Scale-safe global numbering WITHOUT a single-partition window:
+    * range-partition by the order key (partitions hold disjoint ordered
+    * key ranges), number rows per partition with a partitioned window,
+    * and add each partition's start offset (a tiny per-partition count
+    * aggregate, broadcast back). Identical output to
+    * `row_number() OVER (ORDER BY id)` — range partitions are ordered by
+    * construction — but every stage is distributed. */
   def matchIndex(
       left: DataFrame,
       right: DataFrame,
       idCol: String = "id",
       orderCol: String = "id"): DataFrame = {
-    def numbered(df: DataFrame, side: String) =
-      df.select(col(idCol).as(s"${side}_id"))
-        .withColumn("rn", row_number().over(Window.orderBy(col(s"${side}_id"))))
+    val parts = left.sparkSession.sessionState.conf.numShufflePartitions
+    def numbered(df: DataFrame, side: String) = {
+      val p = df.select(col(idCol).as(s"${side}_id"))
+        .repartitionByRange(parts, col(s"${side}_id"))
+        .withColumn("__pid", spark_partition_id())
+      val offsets = p.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+        .withColumn("__offset",
+          coalesce(sum(col("__cnt")).over(
+            Window.orderBy(col("__pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__pid"), col("__offset"))
+      p.join(broadcast(offsets), "__pid")
+        .withColumn("rn", col("__offset") +
+          row_number().over(
+            Window.partitionBy(col("__pid")).orderBy(col(s"${side}_id"))))
+        .select(col(s"${side}_id"), col("rn"))
+    }
     numbered(left, "left")
       .join(numbered(right, "right"), Seq("rn"), "inner")
       .select(col("left_id"), col("right_id"), lit(1.0).as("score"))

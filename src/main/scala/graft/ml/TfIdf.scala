@@ -27,11 +27,22 @@ object TfIdf {
     df.select(col(idCol).as("id"), explode(charNgrams(col(textCol), n)).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
 
-  /** idf fit on a corpus: sklearn smooth ln((1+N)/(1+df)) + 1. */
-  def fitIdf(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  /** idf fit on a corpus: sklearn smooth ln((1+N)/(1+df)) + 1, with
+    * sklearn-style document-frequency pruning (`min_df` absolute,
+    * `max_df` a corpus ratio — TfidfVectorizer's own mitigation, used by
+    * the reference via min_df in train_baseline.py:71-89).
+    *
+    * maxDfRatio is the SCALE guard: without it one stop-term appearing
+    * in every document makes the downstream term equi-join quadratic in
+    * corpus size (every test doc × every train doc through that term);
+    * capping df bounds the per-term join fan-out at maxDfRatio·N. */
+  def fitIdf(df: DataFrame, idCol: String, textCol: String, n: Int,
+      minDf: Long = 1L, maxDfRatio: Double = 1.0): DataFrame = {
     val nDocs = df.count()
+    val maxDf = math.floor(maxDfRatio * nDocs).toLong
     termCounts(df, idCol, textCol, n)
       .groupBy("term").agg(countDistinct("id").as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
       .withColumn("idf",
         log((lit(1.0) + nDocs.toDouble) / (lit(1.0) + col("df"))) + 1.0)
       .select("term", "idf")
@@ -56,8 +67,9 @@ object TfIdf {
     * train id. */
   def cosineTopK(
       train: DataFrame, test: DataFrame,
-      idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
-    val idf = fitIdf(train, idCol, textCol, n)
+      idCol: String, textCol: String, n: Int, k: Int,
+      minDf: Long = 1L, maxDfRatio: Double = 1.0): DataFrame = {
+    val idf = fitIdf(train, idCol, textCol, n, minDf, maxDfRatio)
     val trainV = transformTfIdf(train, idf, idCol, textCol, n)
       .withColumnRenamed("id", "train_id").withColumnRenamed("weight", "tw")
     val testV = transformTfIdf(test, idf, idCol, textCol, n)

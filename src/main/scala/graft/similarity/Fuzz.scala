@@ -122,19 +122,28 @@ object Fuzz {
     best
   }
 
+  /** Exactly the Java-regex `\\s` class: space, TAB, LF, VT (U+000B),
+    * FF, CR. NOT `Character.isWhitespace` — that is also true for
+    * U+001C..U+001F (file/group/record/unit separators) where `\\s` is
+    * false, and the pre-tokenized path (Spark `split("\\\\s+")`) uses
+    * regex semantics; the two tokenizers must agree or the scalar and
+    * pretok scorers diverge on such inputs. */
+  @inline private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r') // 0x09..0x0D = TAB LF VT FF CR
+
   /** Whitespace tokenizer, hand-rolled: `String.split("\\s+")` compiles
     * the regex on EVERY call (~200µs measured on 300-char docs) — 10-40×
-    * the cost of the similarity computation itself. Splits on
-    * `Character.isWhitespace` (a superset of regex `\s` only outside
-    * ASCII, where the two agree; corpus is ASCII post-normalize). */
+    * the cost of the similarity computation itself. Splits on the exact
+    * regex-`\s` set so scalar results match the `split("\\s+")`
+    * pre-tokenized path on any input. */
   private[similarity] def splitTokens(s: String): Array[String] = {
     val n = s.length
     val out = new java.util.ArrayList[String](16)
     var i = 0
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isRegexSpace(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isRegexSpace(s.charAt(i))) i += 1
       if (i > start) out.add(s.substring(start, i))
     }
     out.toArray(new Array[String](out.size))
@@ -242,8 +251,11 @@ object Fuzz {
     * O(distinct bytes used), not O(256 × words). */
   private final class Scratch {
     val masks = new Array[Array[Long]](256)
-    val gen = new Array[Int](256)
-    var curGen = 0
+    // Long generation stamps: an Int counter wraps after 2^32 calls on a
+    // long-lived executor thread and a mask row untouched for exactly one
+    // wrap would alias the current generation (stale bits → inflated LCS)
+    val gen = new Array[Long](256)
+    var curGen = 0L
     var r: Array[Long] = new Array[Long](16)
     var ab: Array[Byte] = new Array[Byte](1024)
     var ba: Array[Byte] = new Array[Byte](1024)
