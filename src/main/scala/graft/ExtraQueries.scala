@@ -104,6 +104,16 @@ object ExtraQueries {
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", n = 3, k = 1, minDf = 3L, maxDfRatio = 0.9)
     }),
+    // -- classifier path (reference Adım 3: CV metrics + submission) ------
+    "ml_classifier_metrics" -> ((s, dir) =>
+      graft.ml.NaiveBayesText.cvMetrics(docs(s, dir), "doc_id", "text", "lang",
+        folds = 3, minDf = 3L)),
+    "ml_nb_submission" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ml.NaiveBayesText.predict(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", "lang", minDf = 3L)
+    }),
     // -- parse battery -----------------------------------------------------
     "p_parts_num" -> ((s, dir) =>
       AddressFixture.rightAll(s, dir)
@@ -116,8 +126,143 @@ object ExtraQueries {
       AddressFixture.rightAll(s, dir)
         .withColumn("c", ReferenceNormalizer.cleanText(col("address")))
         .select(col("id"), PartsExtractor.parse_parts(col("c")).as("p"))
+        .select(col("id"), col("p.*"))),
+    // X7 weak BIO labeling over the gazetteer hint sets (the address
+    // fixture's mahalle pool as the index; city/district hints as
+    // il/ilçe keys).
+    "p_weak_bio" -> ((s, dir) =>
+      AddressFixture.rightAll(s, dir)
+        .withColumn("t", Normalizer.normalizeAddress(col("address")))
+        .select(col("id"),
+          array_join(graft.parse.WeakLabeling.tokens(col("t")), " ").as("tokens"),
+          array_join(graft.parse.WeakLabeling.weakBioLabels(col("t"),
+            AddressFixture.mahalles,
+            AddressFixture.cities.map(_._1),
+            AddressFixture.cities.map(_._2)), " ").as("labels"))),
+    // The FULL X2 battery (all 10 fields + confidence arithmetic) under
+    // a driver hash check: extractExpr over the RE2-portable address
+    // normalize — every regex/branch is mirrored in DuckDB below.
+    // (p_parts_full stays golden-verified: cleanText + the postprocess
+    // pass use Java-regex lookarounds that RE2 cannot express.)
+    "p_parts_struct" -> ((s, dir) =>
+      AddressFixture.rightAll(s, dir)
+        .withColumn("t", Normalizer.normalizeAddress(col("address")))
+        .select(col("id"), PartsExtractor.extractExpr(col("t")).as("p"))
         .select(col("id"), col("p.*")))
   )
+
+  // -- DuckDB mirror of the NB classifier (NaiveBayesText) ----------------
+
+  /** Two-channel (char-3 + word) term counts over documents. */
+  private val nbTermsCte: String = """
+    |nb_terms AS (
+    |  SELECT doc_id AS id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+    |    SELECT doc_id, unnest(list_concat(
+    |      list_transform(generate_series(1, greatest(length(text)-2, 0)),
+    |        i -> 'c:' || substring(text, CAST(i AS INT), 3)),
+    |      list_transform(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+    |        t -> 'w:' || t))) AS term
+    |    FROM documents)
+    |  GROUP BY doc_id, term
+    |)""".stripMargin
+
+  /** Train→score CTE block: vocab (min_df=3) from `tr`, NB scores of
+    * `tv` docs. Emits CTEs suffixed `_$k` expecting tr_$k/va-like id
+    * frames already defined. */
+  private def nbScoreCtes(k: String, trainCte: String, testIdsCte: String): String = s"""
+    |vocab_$k AS (
+    |  SELECT term FROM nb_terms JOIN $trainCte USING (id)
+    |  GROUP BY term HAVING count(DISTINCT id) >= 3
+    |),
+    |wl_$k AS (
+    |  SELECT t.id, t.term, t.tf, tr.label
+    |  FROM nb_terms t JOIN vocab_$k USING (term) JOIN $trainCte tr ON t.id = tr.id
+    |),
+    |tc_$k AS (SELECT label, term, sum(tf) AS cnt_tc FROM wl_$k GROUP BY label, term),
+    |ct_$k AS (SELECT label, sum(tf) AS cnt_c FROM wl_$k GROUP BY label),
+    |nd_$k AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM $trainCte),
+    |vs_$k AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab_$k),
+    |pri_$k AS (SELECT label, ln(CAST(count(*) AS DOUBLE) / n_docs) AS prior
+    |           FROM $trainCte, nd_$k GROUP BY label, n_docs),
+    |cls_$k AS (SELECT ct.label, ct.cnt_c, pri.prior
+    |           FROM ct_$k ct JOIN pri_$k pri USING (label)),
+    |tv_$k AS (
+    |  SELECT t.id, t.term, t.tf
+    |  FROM nb_terms t JOIN vocab_$k USING (term) JOIN $testIdsCte v ON t.id = v.id
+    |),
+    |sc_$k AS (
+    |  SELECT tv.id, c.label,
+    |         round(c.prior + sum(tv.tf *
+    |           ln((coalesce(tc.cnt_tc, 0.0::DOUBLE) + 1.0::DOUBLE) / (c.cnt_c + vs.v))), 6) AS score
+    |  FROM tv_$k tv CROSS JOIN cls_$k c
+    |  LEFT JOIN tc_$k tc ON tc.label = c.label AND tc.term = tv.term
+    |  CROSS JOIN vs_$k vs
+    |  GROUP BY tv.id, c.label, c.prior
+    |),
+    |ranked_$k AS (
+    |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, label ASC) AS rnk
+    |  FROM sc_$k
+    |)""".stripMargin
+
+  /** Per-fold metric CTEs: accuracy, macro-F1 (over the global label
+    * set, 0/0→0), top-3 accuracy. */
+  private def nbFoldMetricCtes(k: Int): String = s"""
+    |tr_$k AS (SELECT id, label FROM nb_folds WHERE fold <> $k),
+    |va_$k AS (SELECT id, label FROM nb_folds WHERE fold = $k),
+    |${nbScoreCtes(k.toString, s"tr_$k", s"va_$k").stripPrefix("\n")},
+    |top1_$k AS (SELECT id, label AS pred FROM ranked_$k WHERE rnk = 1),
+    |j_$k AS (SELECT va.id, va.label AS truth, top1.pred
+    |         FROM va_$k va LEFT JOIN top1_$k top1 USING (id)),
+    |base_$k AS (SELECT count(*) AS n,
+    |                   CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT) AS correct
+    |            FROM j_$k),
+    |hits3_$k AS (SELECT count(*) AS hits3 FROM ranked_$k r JOIN va_$k va
+    |             ON r.id = va.id AND r.label = va.label WHERE r.rnk <= 3),
+    |bytruth_$k AS (SELECT truth AS c, count(*) AS n_true,
+    |                      CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT) AS tp
+    |               FROM j_$k GROUP BY truth),
+    |bypred_$k AS (SELECT pred AS c, count(*) AS n_pred FROM j_$k
+    |              WHERE pred IS NOT NULL GROUP BY pred),
+    |perclass_$k AS (
+    |  SELECT coalesce(bt.tp, 0) AS tp,
+    |         coalesce(bp.n_pred, 0) - coalesce(bt.tp, 0) AS fp,
+    |         coalesce(bt.n_true, 0) - coalesce(bt.tp, 0) AS fn
+    |  FROM nb_all_labels al
+    |  LEFT JOIN bytruth_$k bt ON al.c = bt.c
+    |  LEFT JOIN bypred_$k bp ON al.c = bp.c
+    |),
+    |macro_$k AS (
+    |  SELECT avg(CASE WHEN 2.0::DOUBLE * tp + fp + fn = 0.0::DOUBLE THEN 0.0::DOUBLE
+    |                  ELSE 2.0::DOUBLE * tp / (2.0::DOUBLE * tp + fp + fn) END) AS macro_f1
+    |  FROM perclass_$k
+    |),
+    |row_$k AS (
+    |  SELECT $k AS fold,
+    |         round(CAST(correct AS DOUBLE) / n, 6) AS accuracy,
+    |         round(macro_f1, 6) AS macro_f1,
+    |         round(CAST(hits3 AS DOUBLE) / n, 6) AS top3_acc
+    |  FROM base_$k, macro_$k, hits3_$k
+    |)""".stripMargin
+
+  private def nbClassifierMetricsSql: String = s"""
+    |WITH ${nbTermsCte.stripPrefix("\n").stripPrefix("|")},
+    |nb_folds AS (
+    |  SELECT doc_id AS id, lang AS label,
+    |         CAST((row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 3 AS INT) AS fold
+    |  FROM documents
+    |),
+    |nb_all_labels AS (SELECT DISTINCT lang AS c FROM documents),
+    |${(0 until 3).map(k => nbFoldMetricCtes(k).stripPrefix("\n").stripPrefix("|")).mkString(",\n")}
+    |SELECT * FROM row_0 UNION ALL SELECT * FROM row_1 UNION ALL SELECT * FROM row_2
+    |""".stripMargin
+
+  private def nbSubmissionSql: String = s"""
+    |WITH ${nbTermsCte.stripPrefix("\n").stripPrefix("|")},
+    |tr_s AS (SELECT doc_id AS id, lang AS label FROM documents WHERE doc_id % 2 = 0),
+    |va_s AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 1),
+    |${nbScoreCtes("s", "tr_s", "va_s").stripPrefix("\n").stripPrefix("|")}
+    |SELECT id, label AS label_pred FROM ranked_s WHERE rnk = 1
+    |""".stripMargin
 
   private def docsLangScoreDuck(ws: Seq[String]): String =
     s"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '' AND t IN (${ws.map(w => s"'$w'").mkString(",")})))"
@@ -330,6 +475,8 @@ object ExtraQueries {
       |)
       |SELECT test_id, train_id, CAST(rank AS INT) AS rank, cos FROM ranked WHERE rank <= 1
       |""".stripMargin,
+    "ml_classifier_metrics" -> nbClassifierMetricsSql,
+    "ml_nb_submission" -> nbSubmissionSql,
     "x_lang_id" -> s"SELECT doc_id, lang, ${TextAnalysis.langIdSqlDuck("text")} AS lang_pred FROM documents",
     "x_quality" -> s"""
       |SELECT doc_id,
@@ -409,6 +556,85 @@ object ExtraQueries {
          |  coalesce(regexp_extract(t, '\\bdaire ([0-9]+)', 1), '') AS daire,
          |  coalesce(regexp_extract(t, '\\bkat ([0-9]+)', 1), '') AS kat
          |FROM n""".stripMargin
+    },
+    "p_weak_bio" -> {
+      val norm = Normalizer.normalizeAddressSqlDuck("address")
+      def inList(xs: Seq[String]) = xs.sorted.map(x => s"'$x'").mkString(", ")
+      s"""WITH ${AddressFixture.leftCteDuck},
+         |${AddressFixture.rightCteDuck},
+         |n AS (SELECT id, $norm AS t FROM addr_right),
+         |tk AS (SELECT id, list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS toks FROM n)
+         |SELECT id, array_to_string(toks, ' ') AS tokens,
+         |  array_to_string(list_transform(toks, x ->
+         |    CASE WHEN x IN (${inList(AddressFixture.mahalles)}) THEN 'B-MAHALLE'
+         |         WHEN x IN (${inList(AddressFixture.cities.map(_._2))}) THEN 'B-ILCE'
+         |         WHEN x IN (${inList(AddressFixture.cities.map(_._1).distinct)}) THEN 'B-IL'
+         |         ELSE 'O' END), ' ') AS labels
+         |FROM tk""".stripMargin
+    },
+    // Full mirror of PartsExtractor.extractExpr. Java-regex lookaheads
+    // `(?=(stop|$))` become consuming groups `(stop|$)` — identical for
+    // a first-match extract (lookahead vs consume only affects where a
+    // SUBSEQUENT match could start). All text is ASCII post-normalize so
+    // Java (?U) word classes and RE2 ASCII classes agree.
+    "p_parts_struct" -> {
+      val norm = Normalizer.normalizeAddressSqlDuck("address")
+      val stop = PartsExtractor.stopAlternation
+      val bld = PartsExtractor.buildingAlternation
+      def following(anchor: String) =
+        s"nullif(trim(regexp_replace(regexp_extract(t, '$anchor\\s+([a-zğüşiöç0-9 \\-]+?)\\s+($stop|$$)', 1), '\\s+', ' ', 'g')), '')"
+      def hintHits(hints: Set[String]) = {
+        val in = hints.toSeq.sorted.map(h => s"'$h'").mkString(", ")
+        s"""flatten(list_transform(list_reverse(string_split(t, '/')), p ->
+           |      list_filter(string_split(trim(regexp_replace(p, '\\s+', ' ', 'g')), ' '),
+           |        x -> x IN ($in))))""".stripMargin
+      }
+      val noSplitOk =
+        """no0 IS NOT NULL AND len(string_split(no0, '/')) = 2
+          |          AND regexp_matches(string_split(no0, '/')[1], '^[0-9]+$')
+          |          AND regexp_matches(string_split(no0, '/')[2], '^[0-9]+$')""".stripMargin
+      def notNull1(c: String) = s"(CASE WHEN $c IS NOT NULL THEN 1 ELSE 0 END)"
+      s"""WITH ${AddressFixture.leftCteDuck},
+         |${AddressFixture.rightCteDuck},
+         |n AS (SELECT id, $norm AS t FROM addr_right),
+         |f AS (
+         |  SELECT id, t,
+         |    nullif(regexp_extract(t, '\\bno\\s*([0-9]+[a-z]?(?:/[0-9a-z]+)?)\\b', 1), '') AS no0,
+         |    nullif(regexp_extract(t, '\\bdaire\\s*([0-9a-z]+)\\b', 1), '') AS daire_raw,
+         |    nullif(regexp_extract(t, '\\bkat\\s*([0-9a-z]+)\\b', 1), '') AS kat_raw,
+         |    ${following("mahalle")} AS mahalle,
+         |    ${following("cadde")} AS cadde,
+         |    nullif(regexp_extract(t, '\\b([0-9]+)\\s+sokak\\b', 1), '') AS numsok,
+         |    ${following("sokak")} AS sokak_f,
+         |    nullif(regexp_extract(t, '\\b([a-zğüşiöç\\-]+)\\s+mevkii\\b', 1), '') AS mevkii,
+         |    nullif(trim(regexp_replace(regexp_extract(t,
+         |      '(?:([a-zğüşiöç\\-]+)\\s+)?(?:([a-zğüşiöç\\-]+)\\s+)?\\b($bld)\\b'),
+         |      '^(\\bno\\b\\s*[0-9]+[a-z]?/?[0-9]*\\s*|[0-9]+[a-z]?\\s*)', '')), '') AS bina_adi,
+         |    ${hintHits(PartsExtractor.cityHints)} AS il_hits,
+         |    ${hintHits(PartsExtractor.districtHints)} AS ilce_hits
+         |  FROM n
+         |), g AS (
+         |  SELECT id, mahalle, cadde,
+         |    coalesce(numsok, sokak_f) AS sokak,
+         |    CASE WHEN $noSplitOk THEN string_split(no0, '/')[1] ELSE no0 END AS no,
+         |    coalesce(
+         |      CASE WHEN $noSplitOk THEN string_split(no0, '/')[2] END,
+         |      CASE WHEN regexp_matches(daire_raw, '^[0-9]+[a-z]?$$') THEN daire_raw END) AS daire,
+         |    CASE WHEN regexp_matches(kat_raw, '^[0-9]+[a-z]?$$') THEN kat_raw END AS kat,
+         |    bina_adi, mevkii,
+         |    CASE WHEN len(il_hits) > 0 THEN il_hits[1] END AS il,
+         |    CASE WHEN len(ilce_hits) > 0 THEN ilce_hits[1] END AS ilce
+         |  FROM f
+         |)
+         |SELECT id, mahalle, cadde, sokak, no, daire, kat, bina_adi, mevkii, il, ilce,
+         |  round(least(greatest(
+         |    0.2::DOUBLE * (${Seq("mahalle", "cadde", "sokak", "no", "daire", "kat",
+                  "bina_adi", "mevkii", "il", "ilce").map(notNull1).mkString(" + ")})
+         |    + CASE WHEN no IS NOT NULL THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+         |    + CASE WHEN mahalle IS NOT NULL OR cadde IS NOT NULL OR sokak IS NOT NULL
+         |           THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END,
+         |    0.0::DOUBLE), 1.0::DOUBLE), 2) AS confidence
+         |FROM g""".stripMargin
     }
   )
 }

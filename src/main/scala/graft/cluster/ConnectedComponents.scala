@@ -23,8 +23,22 @@ import org.apache.spark.sql.functions._
   * `localCheckpoint` cuts the lineage each round so plans don't grow
   * exponentially; convergence is detected with a cheap count + xor-hash
   * aggregate over the canonical edge set.
+  *
+  * Reliability at cluster scale: `localCheckpoint` stores blocks on
+  * executors — an executor loss mid-job loses them. Pass a
+  * [[CcCheckpoint]] to instead commit each round's edge set as a
+  * [[graft.io.TableIO]] snapshot on reliable storage (lineage-keyed), which
+  * both cuts lineage AND makes the whole clustering resumable: a re-run
+  * over the same input finds each completed round's snapshot by its
+  * lineage hash and reads it back instead of recomputing (idempotent
+  * resume, the north rule's checkpoint semantics).
   */
 object ConnectedComponents {
+
+  /** Reliable-checkpoint config: snapshot root/table prefix and cadence
+    * (`everyRounds` = n commits every n-th round; rounds in between use
+    * localCheckpoint). */
+  case class CcCheckpoint(root: String, table: String, everyRounds: Int = 1)
 
   /** @param edges DataFrame with two string/integral columns naming an
     *              undirected edge (self-loops and duplicates welcome)
@@ -35,7 +49,8 @@ object ConnectedComponents {
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      checkpoint: Option[CcCheckpoint] = None): DataFrame = {
     val spark = edges.sparkSession
 
     def canon(e: DataFrame): DataFrame =
@@ -71,7 +86,25 @@ object ConnectedComponents {
       nb.join(mins, "a")
     }
 
-    var sig = signature(e)
+    val sig0 = signature(e)
+    val inputSig = s"${sig0._1}_${sig0._2}"
+
+    /** Round persistence: TableIO snapshot (resumable, reliable) when
+      * configured for this round, localCheckpoint otherwise. The
+      * lineage key (input signature + round + step) makes a re-run over
+      * identical input resume from every already-committed round. */
+    def persist(df: DataFrame, round: Int, step: String): DataFrame =
+      checkpoint match {
+        case Some(c) if round % math.max(1, c.everyRounds) == 0 =>
+          val (restored, _) = graft.io.TableIO.resumeOrCompute(
+            spark, c.root, s"${c.table}_${step}_r$round",
+            Map("input_sig" -> inputSig, "round" -> round.toString,
+              "step" -> step))(df)
+          restored
+        case _ => df.localCheckpoint()
+      }
+
+    var sig = sig0
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -80,7 +113,7 @@ object ConnectedComponents {
       val large = withMin(nb1)
         .filter(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v"))
-      val e1 = canon(large.union(e.select(col("u"), col("v")))).localCheckpoint()
+      val e1 = persist(canon(large.union(e.select(col("u"), col("v")))), iter, "large")
       // NOTE: the classic formulation replaces the edge set with the
       // large-star output alone; unioning the previous edges keeps
       // correctness trivially (connectivity is preserved both ways) at
@@ -93,7 +126,7 @@ object ConnectedComponents {
         .filter(col("b") <= col("a"))
         .select(col("b").as("u"), col("m").as("v"))
         .union(withMin(nb2).select(col("a").as("u"), col("m").as("v")))
-      val e2 = canon(small).localCheckpoint()
+      val e2 = persist(canon(small), iter, "small")
 
       val newSig = signature(e2)
       converged = newSig == sig

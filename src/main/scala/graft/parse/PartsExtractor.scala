@@ -61,6 +61,11 @@ object PartsExtractor {
     "osmaniye","düzce","duzce","bayburt","ardahan","iğdır","igdir","karaman","kırıkkale","kirikkale","bartın","bartin")
 
   private val stopSet = "mahalle|cadde|sokak|bulvar|no|daire|kat|mevkii|apartman|hotel|otel|plaza|blok|işhanı|iş hanı"
+  /** Regex vocab shared with the DuckDB oracle mirror of [[extractExpr]]
+    * (ExtraQueries `p_parts_struct`). */
+  private[graft] def stopAlternation: String = stopSet
+  private[graft] val buildingAlternation =
+    "apartman|residence|rezidans|blok|işhanı|iş hanı|plaza|hotel|otel"
   private val buildingTriggers = Set("apartman", "residence", "rezidans", "blok",
     "işhanı", "iş", "hanı", "otel", "hotel", "plaza") // X2 trigger list (regex alternation below)
   private val cutWords = Set("no", "daire", "kat", "mevkii", "il", "ilçe", "ilce")
@@ -311,7 +316,7 @@ object PartsExtractor {
       following("sokak"))
     val mevkii = nonEmpty(regexp_extract(txt, "(?U)\\b([a-zğüşiöç\\-]+)\\s+mevkii\\b", 1))
     val bina = nonEmpty(trim(regexp_replace(regexp_extract(txt,
-      s"(?U)(?:([a-zğüşiöç\\-]+)\\s+)?(?:([a-zğüşiöç\\-]+)\\s+)?\\b(apartman|residence|rezidans|blok|işhanı|iş hanı|plaza|hotel|otel)\\b",
+      s"(?U)(?:([a-zğüşiöç\\-]+)\\s+)?(?:([a-zğüşiöç\\-]+)\\s+)?\\b($buildingAlternation)\\b",
       0), "(?U)^(\\bno\\b\\s*\\d+[a-z]?/?\\d*\\s*|\\d+[a-z]?\\s*)", "")))
     // il/ilçe: first hint scanning '/'-pieces right to left
     val pieces = reverse(split(txt, "/"))

@@ -63,4 +63,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert((21 to 25).forall(i => out(s"v$i") == "v20") && out("v20") == "v20")
     assert(out("v30") == "v30") // self-loop-only vertex keeps own id
   }
+
+  test("reliable checkpoint: same result, and a re-run resumes from snapshots") {
+    import spark.implicits._
+    val edges = ((0 until 9).map(i => (s"v${i}", s"v${i + 1}")) ++
+      (21 to 25).map(i => (s"v20", s"v$i"))).toDF("src", "dst")
+    val plain = ConnectedComponents.run(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    val cp = Some(ConnectedComponents.CcCheckpoint(dir, "cc", everyRounds = 1))
+    val ck = ConnectedComponents.run(edges, checkpoint = cp)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ck == plain, "checkpointed run diverged from localCheckpoint run")
+    // snapshots were committed per round/step
+    val tables = new java.io.File(dir).list().toSeq
+    assert(tables.nonEmpty && tables.forall(_.startsWith("cc_")))
+    val snapshotCount = tables.map(t =>
+      graft.io.TableIO.latestSnapshotId(dir, t).map(_ + 1).getOrElse(0L)).sum
+    // resume: an identical re-run must read every round back instead of
+    // committing new snapshots (lineage hashes match)
+    val ck2 = ConnectedComponents.run(edges, checkpoint = cp)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ck2 == plain)
+    val snapshotCount2 = new java.io.File(dir).list().toSeq.map(t =>
+      graft.io.TableIO.latestSnapshotId(dir, t).map(_ + 1).getOrElse(0L)).sum
+    assert(snapshotCount2 == snapshotCount,
+      s"re-run committed new snapshots: $snapshotCount -> $snapshotCount2")
+  }
 }
