@@ -121,13 +121,15 @@ object Bench {
     *   - saltBuckets=8, the flagship configuration: each ~405k-pair hot
     *     key splits into 8 × ~50k-pair (~0.7s) tasks — the run exercises
     *     the exact salted skew-aware join path that ships.
-    *   - `warm` controls an untimed warmup pass; always runs the timed
-    *     job twice and keeps the faster (JIT/page-cache warm; later
+    *   - `warm` controls an untimed warmup pass; the timed job runs
+    *     `runs` times and keeps the fastest (JIT/page-cache warm; later
     *     sessions in the same JVM are already JIT-warm so they skip the
-    *     extra warmup pass).
+    *     extra warmup pass but take an extra timed run instead —
+    *     observed single-run noise on this box is up to ±30% on the
+    *     16-core leg, so the scaling legs use min-of-3).
     */
-  private def matchThroughput(s: SparkSession, dir: String, warm: Boolean)
-      : (Long, Double, Double) = {
+  private def matchThroughput(s: SparkSession, dir: String, warm: Boolean,
+      runs: Int = 2): (Long, Double, Double) = {
     val R = replicaR
     val base = SparkEntryBench.convNormV(s, dir, variants = 12)
     val conv = base
@@ -152,9 +154,7 @@ object Bench {
     def job(): Long = Matcher.matchPairs(lhs, rhs, cfgStats,
       idCol = "conv_id", textCol = "text_norm").count()
     if (warm) job()
-    val (_, t1) = time(job())
-    val (_, t2) = time(job())
-    val sec = math.min(t1, t2)
+    val sec = (0 until math.max(1, runs)).map(_ => time(job())._2).min
     conv.unpersist()
     (cands, sec, cands / sec)
   }
@@ -167,8 +167,8 @@ object Bench {
     * across separate executors. Same plan, same 256 partitions, same
     * key->partition mapping at both sizes. */
   private def scalingJson(dir: String): String = {
-    val (cN, tN, rN) = withSession(4)(matchThroughput(_, dir, warm = false))
-    val (_, t4N, r4N) = withSession(16)(matchThroughput(_, dir, warm = false))
+    val (cN, tN, rN) = withSession(4)(matchThroughput(_, dir, warm = false, runs = 3))
+    val (_, t4N, r4N) = withSession(16)(matchThroughput(_, dir, warm = false, runs = 3))
     val eff = (tN / t4N) / 4.0
     f""","scaling":{"pairs":$cN,"n_cores":4,"n_sec":$tN%.3f,"n_pairs_per_sec":$rN%.0f,"n4_cores":16,"n4_sec":$t4N%.3f,"n4_pairs_per_sec":$r4N%.0f,"speedup":${tN / t4N}%.3f,"efficiency":$eff%.3f}"""
   }
@@ -201,8 +201,9 @@ object Bench {
 
     val (results, cands, matchSec, pairRate) = withSession(cpus) { s =>
       val rs = queriesFor(s, dir).map { case (name, job) =>
-        val (_, sec) = time(job())
-        name -> sec
+        // -1 = error sentinel: one broken query must not kill the report
+        name -> (try time(job())._2 catch { case e: Exception =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 })
       }
       // headline scored-pair throughput at full core count, same
       // methodology as the scaling runs (cached normalize, timed scoring)
@@ -210,7 +211,12 @@ object Bench {
       (rs, c, sec, rate)
     }
 
-    val scalingStr = if (scaling) scalingJson(dir) else ""
+    val scalingStr =
+      if (scaling) {
+        try scalingJson(dir) catch { case e: Exception =>
+          System.err.println(s"[bench] scaling failed: ${e.getMessage}"); ""
+        }
+      } else ""
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -288,7 +288,9 @@ object ExtraQueries {
       |  SELECT doc_id, sh,
       |         list_transform(generate_series(0, 15), seed ->
       |           list_min(list_transform(sh, s ->
-      |             CAST(('0x' || substr(md5(CAST(seed AS STRING) || ':' || s), 1, 15)) AS BIGINT)))) AS sig
+      |             (((seed * 2654435761 + 1) % 2147483647) *
+      |              CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)
+      |              + (seed * 40503 + 7) % 2147483647) % 2147483647))) AS sig
       |  FROM sh WHERE len(sh) > 0
       |), bands AS (
       |  SELECT doc_id, sh,

@@ -56,15 +56,29 @@ object Dedup {
     array_distinct(transform(sequence(lit(1), n), i => c.substr(i, lit(k))))
   }
 
+  /** Carter-Wegman seeded hash family over ONE md5-derived base hash:
+    * h_seed(s) = (a(seed)·h0(s) + b(seed)) mod (2^31−1), with
+    * h0 = first 28 bits of md5(s) and a,b derived from the seed by
+    * fixed multipliers. One md5 per shingle instead of one per
+    * (shingle, seed) — at 10^12-shingle scale the md5 dominates the
+    * signature stage, and the mix is a handful of integer ops. All
+    * products stay under 2^60, so the arithmetic is exact in both
+    * Spark (Java long) and DuckDB (checked BIGINT) and the oracle
+    * mirrors it digit for digit. */
+  val mhPrime = 2147483647L // 2^31 − 1
+  private def mhMix(seed: Column, h0: Column): Column =
+    (((seed * lit(2654435761L) + lit(1L)) % mhPrime) * h0 +
+      (seed * lit(40503L) + lit(7L)) % mhPrime) % mhPrime
+  def baseHash28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the min hash over the shingle set. Empty shingle set -> nulls. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val h0s = transform(shingleCol, (s: Column) => baseHash28(s))
     transform(sequence(lit(0), lit(numHashes - 1)), seed =>
-      array_min(transform(shingleCol, s =>
-        conv(substring(md5(concat(cast_str(seed), lit(":"), s)), 1, 15), 16, 10)
-          .cast("long"))))
-
-  private def cast_str(c: Column): Column = c.cast("string")
+      array_min(transform(h0s, h0 => mhMix(seed.cast("long"), h0))))
+  }
 
   /** LSH band keys: signature split into `bands` bands of equal width;
     * key = md5 of the band's joined values. Two docs sharing any band
@@ -72,7 +86,7 @@ object Dedup {
   def bandKeys(sigCol: Column, bands: Int, numHashes: Int): Column = {
     val rowsPerBand = numHashes / bands
     transform(sequence(lit(0), lit(bands - 1)), b =>
-      concat(cast_str(b), lit("|"),
+      concat(b.cast("string"), lit("|"),
         md5(concat_ws("_",
           transform(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand)), v => v.cast("string"))))))
   }
@@ -97,11 +111,10 @@ object Dedup {
   def minhashSignatureRelational(
       withShingles: DataFrame, numHashes: Int): DataFrame = {
     val exploded = withShingles.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
-        col("s"))
-      .select(col("id"), col("seed"),
-        conv(substring(md5(concat(col("seed").cast("string"), lit(":"), col("s"))), 1, 15), 16, 10)
-          .cast("long").as("h"))
+      .select(col("id"), baseHash28(col("s")).as("h0")) // md5 ONCE per shingle
+      .select(col("id"),
+        explode(sequence(lit(0L), lit(numHashes - 1L))).as("seed"), col("h0"))
+      .select(col("id"), col("seed"), mhMix(col("seed"), col("h0")).as("h"))
     exploded.groupBy("id", "seed").agg(min(col("h")).as("mh"))
       .groupBy("id")
       .agg(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),

@@ -253,12 +253,14 @@ object Matcher {
       val p = df.select(col(idCol).as(s"${side}_id"))
         .repartitionByRange(parts, col(s"${side}_id"))
         .withColumn("__pid", spark_partition_id())
-      val offsets = p.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-        .withColumn("__offset",
-          coalesce(sum(col("__cnt")).over(
-            Window.orderBy(col("__pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("__pid"), col("__offset"))
+      // partition start offsets via a triangular self-join over the
+      // per-partition counts (#partitions rows) — not a global window,
+      // so the whole plan is free of SinglePartition exchanges
+      val counts = p.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      val offsets = counts.as("a")
+        .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+        .groupBy(col("a.__pid").as("__pid"))
+        .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__offset"))
       p.join(broadcast(offsets), "__pid")
         .withColumn("rn", col("__offset") +
           row_number().over(

@@ -52,4 +52,25 @@ class PlanSpec extends SparkSpec {
     val p = plan(topk)
     assert(p.contains("Broadcast"), s"ANN query side not broadcast:\n$p")
   }
+
+  test("matchIndex: distributed numbering, no SinglePartition exchange") {
+    val m = Matcher.matchIndex(
+      AddressFixture.left(spark, sf0001),
+      AddressFixture.right(spark, sf0001, 1))
+    val p = plan(m)
+    assert(!p.contains("SinglePartition"),
+      s"matchIndex funnels rows through one partition:\n$p")
+  }
+
+  test("salted match plan: hot keys broadcast-joined, no isin literals") {
+    val conv = SparkEntry.convNorm(spark, sf0001)
+    val m = Matcher.matchPairs(
+      conv.filter(col("variant") === 0),
+      conv.filter(col("variant") > 0),
+      MatchConfig.reference.copy(saltBuckets = 4, saltHotPairs = 16L),
+      idCol = "conv_id", textCol = "text_norm")
+    val p = plan(m)
+    assert(p.contains("Broadcast"), s"hot-key flag not broadcast:\n$p")
+    assert(!p.toLowerCase.contains(" in ("), "giant isin literal in plan")
+  }
 }

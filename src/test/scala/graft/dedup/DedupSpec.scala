@@ -1,0 +1,48 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0 until 40).map { i =>
+    // near-dup pairs: (2k, 2k+1) differ by one word; distinct otherwise
+    val base = s"the quick brown fox ${i / 2} jumps over the lazy dog number ${i / 2}"
+    (i.toLong, if (i % 2 == 0) base else base + " indeed")
+  }.toDF("doc_id", "text")
+
+  test("relational MinHash signatures equal the array-expression signatures") {
+    val withSh = docs.select(col("doc_id").as("id"), col("text").as("t"))
+      .withColumn("sh", Dedup.shingles(col("t"), 5))
+      .filter(size(col("sh")) > 0)
+    val arrSig = withSh.select(col("id"),
+      Dedup.minhashSignature(col("sh"), 16).as("sig_a"))
+    val relSig = Dedup.minhashSignatureRelational(withSh, 16)
+    val diff = arrSig.join(relSig, "id")
+      .filter(col("sig_a") =!= col("sig")).count()
+    assert(diff == 0, "relational and array MinHash signatures diverge")
+  }
+
+  test("minhashLshPairs finds the planted near-dups") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 20).map(k => (2L * k, 2L * k + 1)).toSet
+    assert(planted.subsetOf(pairs), s"missed planted near-dups: ${planted -- pairs}")
+  }
+
+  test("simhashPairs: pigeonhole blocking recalls every pair within the radius") {
+    val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
+    val brute = sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Dedup.hamming(col("a.sim"), col("b.sim")).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(blocked == brute,
+      s"blocked != brute: missing=${brute -- blocked} extra=${blocked -- brute}")
+    assert(brute.nonEmpty, "test corpus produced no close simhash pairs")
+  }
+}
