@@ -421,17 +421,25 @@ object ExtraQueries {
     "v_ann_ivf" -> """
       |WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
       |cent AS (SELECT vec_id AS list_id, e AS ce FROM v WHERE vec_id % 50 = 0),
-      |asg AS (
+      |asg_l AS (
+      |  SELECT v.vec_id, v.e, c.list_id,
+      |         row_number() OVER (PARTITION BY v.vec_id
+      |           ORDER BY round(list_dot_product(v.e, c.ce) /
+      |                    (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+      |                    c.list_id DESC) AS crank
+      |  FROM v CROSS JOIN cent c
+      |),
+      |asg_p AS (
       |  SELECT v.vec_id, v.e, c.list_id,
       |         row_number() OVER (PARTITION BY v.vec_id
       |           ORDER BY round(list_dot_product(v.e, c.ce) /
       |                    (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
       |                    c.list_id ASC) AS crank
-      |  FROM v CROSS JOIN cent c
+      |  FROM v CROSS JOIN cent c WHERE v.vec_id % 100 = 0
       |),
-      |lists AS (SELECT vec_id AS neighbor_id, e AS nv, list_id FROM asg WHERE crank = 1),
-      |probes AS (SELECT vec_id AS query_id, e AS qv, list_id FROM asg
-      |           WHERE crank <= 2 AND vec_id % 100 = 0),
+      |lists AS (SELECT vec_id AS neighbor_id, e AS nv, list_id FROM asg_l WHERE crank = 1),
+      |probes AS (SELECT vec_id AS query_id, e AS qv, list_id FROM asg_p
+      |           WHERE crank <= 2),
       |scored AS (
       |  SELECT p.query_id, l.neighbor_id,
       |         round(list_dot_product(p.qv, l.nv) /

@@ -85,18 +85,31 @@ object SimilaritySearch {
       k: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cent = centroids.select(col(idCol).as("list_id"), asDouble(col(vecCol)).as("ce"))
-    def assign(df: DataFrame, side: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(s"${side}_id")
-        .orderBy(col("ccos").desc, col("list_id").asc)
+    def scoredCent(df: DataFrame, side: String): DataFrame =
       df.select(col(idCol).as(s"${side}_id"), asDouble(col(vecCol)).as(s"${side}_v"))
         .crossJoin(broadcast(cent))
         .withColumn("ccos", round(cosine(col(s"${side}_v"), col("ce")), 6))
+    // CORPUS assignment is a groupBy max-struct aggregation, not a
+    // window: the partial max combines map-side, so the shuffle carries
+    // one row per corpus vector instead of one per (vector, centroid) —
+    // a C× shuffle reduction at 100-TB corpus scale. Deterministic
+    // tie-break = greatest list_id on equal (rounded) cosine (struct
+    // ordering; mirrored in the oracle).
+    val lists = scoredCent(corpus, "neighbor")
+      .groupBy("neighbor_id")
+      .agg(max(struct(col("ccos"), col("list_id"))).as("m"),
+        first(col("neighbor_v")).as("neighbor_v"))
+      .select(col("neighbor_id"), col("neighbor_v"), col("m.list_id").as("list_id"))
+    // QUERY probes keep the top-nProbe window (queries are the small
+    // side by contract; smallest-list-id tie-break)
+    val probes = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("ccos").desc, col("list_id").asc)
+      scoredCent(queries, "query")
         .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(s"${side}_id"), col(s"${side}_v"), col("list_id"))
+        .filter(col("crank") <= nProbe)
+        .select(col("query_id"), col("query_v"), col("list_id"))
     }
-    val lists = assign(corpus, "neighbor", 1)
-    val probes = assign(queries, "query", nProbe)
     val scored = lists.join(probes, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosine(col("query_v"), col("neighbor_v")), 6))

@@ -31,7 +31,19 @@ case class MatchConfig(
       * TableIO snapshot records at commit time as part of its
       * per-partition metrics). When set, the matcher salts exactly these
       * keys and skips the in-query detection scan. */
-    knownHotKeys: Option[Seq[String]] = None) {
+    knownHotKeys: Option[Seq[String]] = None,
+    /** Both sides are already co-partitioned on the block key — e.g.
+      * read from tables bucketed by `block_key` with equal bucket
+      * counts ([[Matcher.writeBucketedByBlockKey]]). Skips the
+      * matcher's explicit repartition AND salting (salting would
+      * re-shuffle and defeat the point), so the block join runs with
+      * ZERO exchanges: the snapshot paid the shuffle once at commit
+      * time and every subsequent match over it rides for free. Hot
+      * keys within a bucket are handled by the scorer's per-pair cost
+      * only — prefer the salted path for corpora with pathological
+      * blocks, the bucketed path for repeated matching over committed
+      * snapshots. */
+    coPartitioned: Boolean = false) {
   /** match.py:96-102 — 0..1 thresholds auto-scale to 0..100. */
   def thresholdScaled: Double = if (threshold <= 1.0) threshold * 100.0 else threshold
 }
@@ -91,13 +103,19 @@ object Matcher {
     // the salt-replicated build side that made the shuffle write the
     // 32-core bottleneck (observed 8× executor-time inflation from
     // memory-pressure spills). Recomputing per shuffled row is a few µs.
-    def prepped(df: DataFrame, side: String): DataFrame =
-      df.withColumn("block_key", BlockKeys.blockKey(col(textCol), cfg.blockBy))
-        .select(
+    def prepped(df: DataFrame, side: String): DataFrame = {
+      // coPartitioned inputs carry their stored (bucketed) block_key —
+      // recomputing it would detach the column from the scan's bucket
+      // metadata and Spark would reinsert the exchange we're eliding
+      val withBk =
+        if (cfg.coPartitioned && df.columns.contains("block_key")) df
+        else df.withColumn("block_key", BlockKeys.blockKey(col(textCol), cfg.blockBy))
+      withBk.select(
           Seq(col(idCol).as(s"${side}_id"), col(textCol).as(s"${side}_text"),
             col("block_key")) ++
             (if (hasGeo) Seq(col("lat").as(s"${side}_lat"), col("lon").as(s"${side}_lon"))
              else Nil): _*)
+    }
 
     /** Post-exchange per-row derivations (J5 right-side precompute,
       * generalized): computed once per shuffled ROW, never per PAIR. */
@@ -141,6 +159,12 @@ object Matcher {
     // `limit` caps the broadcast — any key beyond the cap simply stays
     // unsalted (perf-only: AQE skew-join still splits it at runtime).
     val parts = left.sparkSession.sessionState.conf.numShufflePartitions
+    // coPartitioned: the sides arrived bucketed on block_key (equal
+    // bucket counts), so the join needs no exchange at all — do NOT
+    // repartition (it would re-shuffle what the snapshot already paid
+    // for). Plan shape asserted in MatcherSpec.
+    def coPartitionedJoin(): DataFrame =
+      heavyCols(l0, "left").join(heavyCols(r0, "right"), Seq("block_key"), "inner")
     def plainJoin(): DataFrame =
       heavyCols(l0.repartition(parts, col("block_key")), "left")
         .join(heavyCols(r0.repartition(parts, col("block_key")), "right"),
@@ -163,7 +187,8 @@ object Matcher {
       lSalt.join(rSalt, Seq("block_key", "salt"), "inner").drop("salt")
     }
     val joined =
-      if (cfg.saltBuckets > 1) {
+      if (cfg.coPartitioned) coPartitionedJoin()
+      else if (cfg.saltBuckets > 1) {
         val hotDf = cfg.knownHotKeys match {
           case Some(keys) =>
             left.sparkSession
@@ -214,6 +239,23 @@ object Matcher {
       .filter(col("rn") <= cfg.topk)
       .select(col("left_id"), col("right_id"), col("score"))
   }
+
+  /** Write a side as a parquet table BUCKETED (and sorted) by its
+    * derived block key — the co-location contract for
+    * [[MatchConfig.coPartitioned]]: two snapshots bucketed with the
+    * same bucket count join on `block_key` with zero exchanges, so a
+    * normalize snapshot pays the match shuffle ONCE at commit time and
+    * every later match/re-match over it is shuffle-free. (The Spark
+    * analogue of the Iceberg bucket-partitioned table the north star
+    * names.) */
+  def writeBucketedByBlockKey(
+      df: DataFrame, cfg: MatchConfig, table: String, path: String,
+      buckets: Int, textCol: String = "text"): Unit =
+    df.withColumn("block_key", BlockKeys.blockKey(col(textCol), cfg.blockBy))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, "block_key").sortBy("block_key")
+      .option("path", path)
+      .saveAsTable(table)
 
   /** The hot-block-key statistic for [[MatchConfig.knownHotKeys]]: block
     * keys whose candidate-pair volume reaches `cfg.saltHotPairs`. In the

@@ -101,4 +101,30 @@ class MatcherSpec extends SparkSpec {
     assert(out.map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSeq ==
       Seq(("0", "0", 1.0), ("1", "1", 1.0)))
   }
+
+  test("coPartitioned: bucketed sides join with zero exchanges, same results") {
+    val left = norm(AddressFixture.left(spark, sf0001))
+    val right = norm(AddressFixture.rightAll(spark, sf0001))
+    val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val c = cfg.copy(saltBuckets = 0)
+    Matcher.writeBucketedByBlockKey(left, c, "bkt_left", s"$base/left", 8,
+      textCol = "address_norm")
+    Matcher.writeBucketedByBlockKey(right, c, "bkt_right", s"$base/right", 8,
+      textCol = "address_norm")
+    val lb = spark.table("bkt_left")
+    val rb = spark.table("bkt_right")
+    val m = Matcher.matchPairs(lb, rb, c.copy(coPartitioned = true),
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    m.collect()
+    val plan = m.queryExecution.executedPlan.toString
+    val joinSection = plan.split("Window").head // exchanges before the top-k window are the join's
+    assert(!joinSection.contains("Exchange hashpartitioning(block_key"),
+      s"bucketed join still exchanges on block_key:\n$plan")
+    // results identical to the shuffled path
+    val plain = Matcher.matchPairs(left, right, c,
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    assert(m.exceptAll(plain).count() == 0 && plain.exceptAll(m).count() == 0)
+    spark.sql("DROP TABLE IF EXISTS bkt_left")
+    spark.sql("DROP TABLE IF EXISTS bkt_right")
+  }
 }
