@@ -4,7 +4,7 @@ import graft.ann.SimilaritySearch
 import graft.dedup.Dedup
 import graft.eda.Profiler
 import graft.fixtures.AddressFixture
-import graft.normalize.{Normalizer, ReferenceNormalizer}
+import graft.normalize.Normalizer
 import graft.parse.PartsExtractor
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -122,10 +122,22 @@ object ExtraQueries {
           regexp_extract(col("t"), "\\bno ([0-9]+)", 1).as("no"),
           regexp_extract(col("t"), "\\bdaire ([0-9]+)", 1).as("daire"),
           regexp_extract(col("t"), "\\bkat ([0-9]+)", 1).as("kat"))),
-    "p_parts_full" -> ((s, dir) =>  // rows-only: golden-tested UDF parity
-      AddressFixture.rightAll(s, dir)
-        .withColumn("c", ReferenceNormalizer.cleanText(col("address")))
-        .select(col("id"), PartsExtractor.parse_parts(col("c")).as("p"))
+    // NOTE: the exact-parity UDF chain (cleanText -> parse_parts ->
+    // postprocess) is GOLDEN-GATED (ParseParitySpec, 85/85 vectors from
+    // executing the reference itself) rather than driver-oracled: its
+    // Java-lookaround regexes cannot be mirrored in DuckDB's RE2. Its
+    // RE2-expressible battery IS hash-checked: p_parts_struct (all 10
+    // extract fields + confidence) and p_parts_tail (the postprocess
+    // tail il/ilçe rules) below.
+    // X4/X5 tail il/ilçe parse under a driver hash check: both rules
+    // (slash pair, adjacent pair) over a slash-preserving lowercase
+    // normalize — side 1 exercises "district/city", side 0 "district
+    // city".
+    "p_parts_tail" -> ((s, dir) =>
+      AddressFixture.left(s, dir).select(col("id"), col("address"))
+        .unionAll(AddressFixture.rightAll(s, dir).select(col("id"), col("address")))
+        .withColumn("t", trim(regexp_replace(lower(col("address")), "\\s+", " ")))
+        .select(col("id"), PartsExtractor.tailIlIlceExpr(col("t")).as("p"))
         .select(col("id"), col("p.*"))),
     // X7 weak BIO labeling over the gazetteer hint sets (the address
     // fixture's mahalle pool as the index; city/district hints as
@@ -289,7 +301,7 @@ object ExtraQueries {
       |         list_transform(generate_series(0, 15), seed ->
       |           list_min(list_transform(sh, s ->
       |             (((seed * 2654435761 + 1) % 2147483647) *
-      |              CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)
+      |              (CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647)
       |              + (seed * 40503 + 7) % 2147483647) % 2147483647))) AS sig
       |  FROM sh WHERE len(sh) > 0
       |), bands AS (
@@ -566,6 +578,46 @@ object ExtraQueries {
          |  coalesce(regexp_extract(t, '\\bdaire ([0-9]+)', 1), '') AS daire,
          |  coalesce(regexp_extract(t, '\\bkat ([0-9]+)', 1), '') AS kat
          |FROM n""".stripMargin
+    },
+    // X4/X5 tail il/ilçe parse — DuckDB mirror of
+    // PartsExtractor.tailIlIlceExpr: same last-8-token window, same
+    // right-to-left slash-pair-then-adjacent-pair precedence, the
+    // 81-province list inlined as a literal.
+    "p_parts_tail" -> {
+      val ilList = graft.parse.PartsExtractor.ilSet.toSeq.sorted
+        .map(x => s"'$x'").mkString("[", ", ", "]")
+      s"""WITH ${AddressFixture.leftCteDuck},
+         |${AddressFixture.rightCteDuck},
+         |base AS (SELECT id, address FROM addr_left
+         |         UNION ALL SELECT id, address FROM addr_right),
+         |n AS (SELECT id, trim(regexp_replace(lower(address), '\\s+', ' ', 'g')) AS t FROM base),
+         |tk AS (SELECT id, list_filter(string_split(t, ' '), x -> x <> '') AS toks FROM n),
+         |tl AS (SELECT id, list_reverse(toks[greatest(len(toks)-7, 1):len(toks)]) AS tailr FROM tk),
+         |c AS (
+         |  SELECT id,
+         |    list_filter(tailr, w -> regexp_matches(w, '^[a-zçğıöşü]+/[a-zçğıöşü]+$$')
+         |      AND (list_contains($ilList, string_split(w, '/')[1])
+         |           <> list_contains($ilList, string_split(w, '/')[2]))) AS slashes,
+         |    list_filter(list_transform(generate_series(1, greatest(len(tailr)-1, 0)),
+         |        j -> struct_pack(a := tailr[CAST(j+1 AS INT)], b := tailr[CAST(j AS INT)])),
+         |      p -> regexp_matches(p.a, '^[a-zçğıöşü]+$$')
+         |        AND regexp_matches(p.b, '^[a-zçğıöşü]+$$')
+         |        AND list_contains($ilList, p.b)
+         |        AND NOT list_contains($ilList, p.a)) AS pairs
+         |  FROM tl
+         |)
+         |SELECT id,
+         |  CASE WHEN len(slashes) > 0 THEN
+         |         CASE WHEN list_contains($ilList, string_split(slashes[1], '/')[2])
+         |              THEN string_split(slashes[1], '/')[2]
+         |              ELSE string_split(slashes[1], '/')[1] END
+         |       WHEN len(pairs) > 0 THEN pairs[1].b END AS il,
+         |  CASE WHEN len(slashes) > 0 THEN
+         |         CASE WHEN list_contains($ilList, string_split(slashes[1], '/')[2])
+         |              THEN string_split(slashes[1], '/')[1]
+         |              ELSE string_split(slashes[1], '/')[2] END
+         |       WHEN len(pairs) > 0 THEN pairs[1].a END AS ilce
+         |FROM c""".stripMargin
     },
     "p_weak_bio" -> {
       val norm = Normalizer.normalizeAddressSqlDuck("address")

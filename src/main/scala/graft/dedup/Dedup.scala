@@ -50,32 +50,43 @@ object Dedup {
 
   // -- shingling / MinHash -------------------------------------------------
 
-  /** Character k-shingles (distinct) of a string column. */
+  /** Character k-shingles (distinct) of a string column. Strings
+    * shorter than k yield an EMPTY array (guarded: Spark's
+    * sequence(1, 0) is the descending [1, 0], which would fabricate a
+    * spurious whole-string shingle); null in -> null out. */
   def shingles(c: Column, k: Int): Column = {
-    val n = greatest(length(c) - (k - 1), lit(0))
-    array_distinct(transform(sequence(lit(1), n), i => c.substr(i, lit(k))))
+    val n = length(c) - (k - 1)
+    when(c.isNull, lit(null).cast("array<string>"))
+      .when(n >= 1,
+        array_distinct(transform(sequence(lit(1), n), i => c.substr(i, lit(k)))))
+      .otherwise(lit(Array.empty[String]))
   }
 
   /** Carter-Wegman seeded hash family over ONE md5-derived base hash:
     * h_seed(s) = (a(seed)·h0(s) + b(seed)) mod (2^31−1), with
-    * h0 = first 28 bits of md5(s) and a,b derived from the seed by
-    * fixed multipliers. One md5 per shingle instead of one per
-    * (shingle, seed) — at 10^12-shingle scale the md5 dominates the
-    * signature stage, and the mix is a handful of integer ops. All
-    * products stay under 2^60, so the arithmetic is exact in both
-    * Spark (Java long) and DuckDB (checked BIGINT) and the oracle
-    * mirrors it digit for digit. */
+    * h0 = (first 60 bits of md5(s)) mod (2^31−1) and a,b derived from
+    * the seed by fixed multipliers. One md5 per shingle instead of one
+    * per (shingle, seed) — at 10^12-shingle scale the md5 dominates the
+    * signature stage, and the mix is a handful of integer ops.
+    *
+    * Base-hash collisions are perfectly CORRELATED across seeds (two
+    * shingles colliding in h0 collide under every seed — the price of
+    * the single-md5 family), so h0 takes 60 md5 bits reduced mod p:
+    * the collision birthday bound is 2^31, not the 2^28 a truncated
+    * 28-bit hash had. With a < p and h0 < p, a·h0+b < 2^62 — exact in
+    * both Spark (Java long) and DuckDB (BIGINT), so the oracle mirrors
+    * the arithmetic digit for digit. */
   val mhPrime = 2147483647L // 2^31 − 1
   private def mhMix(seed: Column, h0: Column): Column =
     (((seed * lit(2654435761L) + lit(1L)) % mhPrime) * h0 +
       (seed * lit(40503L) + lit(7L)) % mhPrime) % mhPrime
-  def baseHash28(c: Column): Column =
-    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+  def baseHashModP(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % mhPrime
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the min hash over the shingle set. Empty shingle set -> nulls. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
-    val h0s = transform(shingleCol, (s: Column) => baseHash28(s))
+    val h0s = transform(shingleCol, (s: Column) => baseHashModP(s))
     transform(sequence(lit(0), lit(numHashes - 1)), seed =>
       array_min(transform(h0s, h0 => mhMix(seed.cast("long"), h0))))
   }
@@ -111,7 +122,7 @@ object Dedup {
   def minhashSignatureRelational(
       withShingles: DataFrame, numHashes: Int): DataFrame = {
     val exploded = withShingles.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), baseHash28(col("s")).as("h0")) // md5 ONCE per shingle
+      .select(col("id"), baseHashModP(col("s")).as("h0")) // md5 ONCE per shingle
       .select(col("id"),
         explode(sequence(lit(0L), lit(numHashes - 1L))).as("seed"), col("h0"))
       .select(col("id"), col("seed"), mhMix(col("seed"), col("h0")).as("h"))

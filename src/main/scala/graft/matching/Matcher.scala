@@ -30,8 +30,14 @@ case class MatchConfig(
     /** Pre-computed hot-key set (e.g. the block-key histogram a
       * TableIO snapshot records at commit time as part of its
       * per-partition metrics). When set, the matcher salts exactly these
-      * keys and skips the in-query detection scan. */
+      * keys and skips the in-query detection scan. Duplicates are
+      * tolerated (the matcher dedups before the flag join). */
     knownHotKeys: Option[Seq[String]] = None,
+    /** Same statistic as [[knownHotKeys]] but kept as a DataFrame end
+      * to end (single `block_key` column) — e.g. a hot-key snapshot
+      * table written at normalize-commit time ([[graft.pipeline.Pipeline]]).
+      * Never touches the driver; takes precedence over knownHotKeys. */
+    knownHotKeysDf: Option[DataFrame] = None,
     /** Both sides are already co-partitioned on the block key — e.g.
       * read from tables bucketed by `block_key` with equal bucket
       * counts ([[Matcher.writeBucketedByBlockKey]]). Skips the
@@ -189,12 +195,16 @@ object Matcher {
     val joined =
       if (cfg.coPartitioned) coPartitionedJoin()
       else if (cfg.saltBuckets > 1) {
-        val hotDf = cfg.knownHotKeys match {
-          case Some(keys) =>
+        // duplicate hot keys would duplicate every row of that block on
+        // BOTH sides of the left-join flag (wrong candidate pairs), so
+        // every source is deduped before the broadcast
+        val hotDf = (cfg.knownHotKeysDf, cfg.knownHotKeys) match {
+          case (Some(df), _) => df.select("block_key").distinct()
+          case (None, Some(keys)) =>
             left.sparkSession
-              .createDataset(keys)(org.apache.spark.sql.Encoders.STRING)
+              .createDataset(keys.distinct)(org.apache.spark.sql.Encoders.STRING)
               .toDF("block_key")
-          case None =>
+          case _ =>
             l0.groupBy("block_key").agg(count(lit(1)).as("nl"))
               .join(r0.groupBy("block_key").agg(count(lit(1)).as("nr")), "block_key")
               .filter(col("nl") * col("nr") >= cfg.saltHotPairs)
@@ -264,15 +274,24 @@ object Matcher {
     * over that snapshot. */
   def hotBlockKeys(
       left: DataFrame, right: DataFrame, cfg: MatchConfig,
-      textCol: String = "text"): Seq[String] = {
+      textCol: String = "text"): Seq[String] =
+    hotBlockKeysDf(left, right, cfg, textCol).limit(100001)
+      .collect().map(_.getString(0)).toSeq
+
+  /** DataFrame form of [[hotBlockKeys]] — never touches the driver, so
+    * the statistic can be written as a snapshot table at commit time
+    * and fed back via [[MatchConfig.knownHotKeysDf]] with no collect
+    * anywhere in the production path. */
+  def hotBlockKeysDf(
+      left: DataFrame, right: DataFrame, cfg: MatchConfig,
+      textCol: String = "text"): DataFrame = {
     def keyed(df: DataFrame) = df
       .withColumn("block_key", BlockKeys.blockKey(col(textCol), cfg.blockBy))
       .groupBy("block_key").agg(count(lit(1)).as("n"))
     keyed(left).withColumnRenamed("n", "nl")
       .join(keyed(right).withColumnRenamed("n", "nr"), "block_key")
       .filter(col("nl") * col("nr") >= cfg.saltHotPairs)
-      .select("block_key").limit(100001)
-      .collect().map(_.getString(0)).toSeq
+      .select("block_key")
   }
 
   /** Index mode (match.py:155-165): positional 1:1 zip of the first

@@ -45,8 +45,14 @@ object NaiveBayesText {
     * relational (id, term, tf) frame instead of a matrix hstack. */
   def termCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val c = col(textCol)
-    val char3 = transform(sequence(lit(1), greatest(length(c) - 2, lit(0))),
-      i => concat(lit("c:"), c.substr(i, lit(3))))
+    // texts shorter than 3 chars: guard the char channel — Spark's
+    // sequence(1, 0) yields the DESCENDING [1, 0] (default step -1 when
+    // start > stop), which would fabricate spurious char-grams, while
+    // the DuckDB oracle's generate_series(1, 0) is empty
+    val char3 = when(length(c) >= 3,
+      transform(sequence(lit(1), length(c) - 2),
+        i => concat(lit("c:"), c.substr(i, lit(3)))))
+      .otherwise(lit(Array.empty[String]))
     val words = transform(filter(split(c, "\\s+"), t => t =!= ""),
       t => concat(lit("w:"), t))
     df.select(col(idCol).as("id"), explode(concat(char3, words)).as("term"))

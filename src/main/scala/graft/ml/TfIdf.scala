@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object TfIdf {
 
-  /** Character n-grams (with multiplicity) of a string column. */
+  /** Character n-grams (with multiplicity) of a string column. Strings
+    * shorter than n yield an EMPTY array (guarded: Spark's
+    * sequence(1, 0) is the descending [1, 0], which would fabricate a
+    * spurious whole-string gram where DuckDB's generate_series(1, 0)
+    * yields none). */
   def charNgrams(c: Column, n: Int): Column =
-    transform(sequence(lit(1), greatest(length(c) - (n - 1), lit(0))),
-      i => c.substr(i, lit(n)))
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
+      .otherwise(lit(Array.empty[String]))
 
   private def termCounts(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), explode(charNgrams(col(textCol), n)).as("term"))

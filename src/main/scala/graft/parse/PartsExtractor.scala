@@ -291,6 +291,44 @@ object PartsExtractor {
     * struct. One row in, one struct out (no Generator needed). */
   val parse_parts = udf((s: String) => if (s == null) null else parseAndPost(s))
 
+  /** X4 tail il/ilçe parse as a pure Column battery — the postprocess
+    * `_parse_city_district_from_tail` rules (postprocess.py:100-131)
+    * over the last 8 tokens, scanned right-to-left:
+    *   1. an alpha `a/b` slash pair with EXACTLY ONE side in the
+    *      81-province set → (il, ilce) = (province side, other side);
+    *   2. else an adjacent alpha pair (a, b) with b a province and a
+    *      not → il = b, ilce = a.
+    * Null-safe array access via `get` (0-based) — ANSI mode is on in
+    * Spark 4 and `element_at` inside a filter lambda would throw on a
+    * slash-less token. Returns struct(il, ilce). */
+  def tailIlIlceExpr(txt: Column): Column = {
+    val ilArr = lit(ilSet.toArray.sorted)
+    def inIl(c: Column): Column = array_contains(ilArr, c)
+    val toks = filter(split(txt, " "), t => t =!= "")
+    val tail = slice(toks, greatest(size(toks) - 7, lit(1)), lit(8))
+    val tailR = reverse(tail)
+    val slashCands = filter(tailR, w =>
+      w.rlike("^[a-zçğıöşü]+/[a-zçğıöşü]+$") &&
+        (inIl(get(split(w, "/"), lit(0))) =!= inIl(get(split(w, "/"), lit(1)))))
+    val slashFirst = when(size(slashCands) > 0, element_at(slashCands, 1))
+    val sa = get(split(slashFirst, "/"), lit(0))
+    val sb = get(split(slashFirst, "/"), lit(1))
+    val slashIl = when(inIl(sb), sb).otherwise(sa)
+    val slashIlce = when(inIl(sb), sa).otherwise(sb)
+    // adjacent pairs in right-to-left order: struct("0" = left token a,
+    // "1" = right token b); the zip's trailing struct has a null "0"
+    // and is dropped by the filter's null-propagating predicate
+    val pairsR = arrays_zip(slice(tailR, 2, 8), tailR)
+    val pairCands = filter(pairsR, p =>
+      p.getField("0").rlike("^[a-zçğıöşü]+$") &&
+        p.getField("1").rlike("^[a-zçğıöşü]+$") &&
+        inIl(p.getField("1")) && !inIl(p.getField("0")))
+    val pairFirst = when(size(pairCands) > 0, element_at(pairCands, 1))
+    val il = when(slashFirst.isNotNull, slashIl).otherwise(pairFirst.getField("1"))
+    val ilce = when(slashFirst.isNotNull, slashIlce).otherwise(pairFirst.getField("0"))
+    struct(il.as("il"), ilce.as("ilce"))
+  }
+
   /** Pure-Column battery (X2 subset; scalable path). `bina_adi` is the
     * adjacent-two-token approximation. */
   def extractExpr(txt: Column): Column = {

@@ -13,16 +13,42 @@ import org.apache.spark.sql.functions._
   * flow (SURVEY.md §3.1) plus the north-rule clustering stage:
   *
   *   turns → conv docs (stable (conv_id, turn_idx) order) → normalize →
-  *   block → score → threshold/topk → matches → connected components →
-  *   clusters, with every stage committed as a TableIO snapshot so the
-  *   whole pipeline resumes idempotently from the last committed stage
-  *   (the reference's per-process CSV handoff, upgraded to atomic
-  *   snapshot tables).
+  *   [hot-key statistic] → block → score → threshold/topk → matches →
+  *   connected components → clusters, with every stage committed as a
+  *   TableIO snapshot so the whole pipeline resumes idempotently from
+  *   the last committed stage (the reference's per-process CSV handoff,
+  *   upgraded to atomic snapshot tables).
+  *
+  * The `hot_keys` stage is the per-snapshot table statistic the scale
+  * story depends on: the block-key histogram's hot set is computed ONCE
+  * when the normalize snapshot commits and fed to every subsequent
+  * match over that snapshot as a DataFrame
+  * ([[MatchConfig.knownHotKeysDf]]) — the match stage then salts
+  * exactly those keys with no in-query detection scan and no driver
+  * round-trip anywhere in the path.
   */
 object Pipeline {
 
   case class StageResult(table: String, rows: Long, resumed: Boolean)
   case class Result(stages: Seq[StageResult], matches: DataFrame, clusters: DataFrame)
+
+  /** The match-stage DataFrame exactly as [[run]] computes it: salted
+    * with the committed hot-key statistic when the config salts and no
+    * explicit hot set was supplied. Exposed so specs can assert the
+    * production plan shape (broadcast hot flag fed by the snapshot
+    * scan, no detection aggregates). */
+  def matchStageDf(
+      convNorm: DataFrame, cfg: MatchConfig,
+      hotKeys: Option[DataFrame]): DataFrame = {
+    val matchCfg =
+      if (cfg.saltBuckets > 1 && cfg.knownHotKeys.isEmpty && cfg.knownHotKeysDf.isEmpty)
+        cfg.copy(knownHotKeysDf = hotKeys)
+      else cfg
+    Matcher.matchPairs(
+      convNorm.filter(col("variant") === 0),
+      convNorm.filter(col("variant") > 0),
+      matchCfg, idCol = "conv_id", textCol = "text_norm")
+  }
 
   def run(
       spark: SparkSession,
@@ -33,6 +59,7 @@ object Pipeline {
     val cfgHash = TableIO.lineageHash(Map(
       "scorer" -> cfg.scorer, "threshold" -> cfg.threshold.toString,
       "topk" -> cfg.topk.toString, "block" -> cfg.blockBy,
+      "salt" -> cfg.saltBuckets.toString, "saltHot" -> cfg.saltHotPairs.toString,
       "variants" -> variants.toString))
     def lineage(stage: String, extra: (String, String)*): Map[String, String] =
       Map("input" -> sfDir, "stage" -> stage, "config" -> cfgHash) ++ extra
@@ -51,12 +78,20 @@ object Pipeline {
           Normalizer.normalize(col("doc")).as("text_norm"))
     }
 
-    val (matches, r2) = TableIO.resumeOrCompute(spark, workRoot, "matches",
-      lineage("matches")) {
-      Matcher.matchPairs(
+    // normalize-commit-time statistic: hot block keys of THIS snapshot,
+    // as a snapshot table of their own (a DataFrame end to end — no
+    // collect in the production path)
+    val (hotKeys, rHot) = TableIO.resumeOrCompute(spark, workRoot, "hot_keys",
+      lineage("hot_keys")) {
+      Matcher.hotBlockKeysDf(
         convNorm.filter(col("variant") === 0),
         convNorm.filter(col("variant") > 0),
-        cfg, idCol = "conv_id", textCol = "text_norm")
+        cfg, textCol = "text_norm")
+    }
+
+    val (matches, r2) = TableIO.resumeOrCompute(spark, workRoot, "matches",
+      lineage("matches")) {
+      matchStageDf(convNorm, cfg, Some(hotKeys))
     }
 
     val (clusters, r3) = TableIO.resumeOrCompute(spark, workRoot, "clusters",
@@ -67,6 +102,7 @@ object Pipeline {
     Result(
       Seq(
         StageResult("conv_norm", convNorm.count(), r1),
+        StageResult("hot_keys", hotKeys.count(), rHot),
         StageResult("matches", matches.count(), r2),
         StageResult("clusters", clusters.count(), r3)),
       matches, clusters)
