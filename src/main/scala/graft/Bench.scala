@@ -64,7 +64,7 @@ object Bench {
   // -- result state (shared with the watchdog thread) ----------------------
 
   private case class Attempt(t4: Double, t16: Double, stealPct: Double,
-      runsN: Int, runs4N: Int) {
+      runsN: Int, runs4N: Int, r: Int, pairs: Long) {
     def eff: Double = (t4 / t16) / 4.0
   }
 
@@ -72,7 +72,6 @@ object Bench {
     val queries = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var sfDir: String = ""
     var throughput: Option[(Long, Double, Double)] = None // (pairs, sec, rate)
-    var scalingPairs: Option[Long] = None
     val attempts = scala.collection.mutable.ArrayBuffer.empty[Attempt]
     val notes = scala.collection.mutable.ArrayBuffer.empty[String]
   }
@@ -92,11 +91,11 @@ object Bench {
     }
     if (state.attempts.nonEmpty) {
       val best = state.attempts.maxBy(_.eff)
-      val cands = state.scalingPairs.getOrElse(0L)
+      val cands = best.pairs
       val (rN, r4N) = (cands / best.t4, cands / best.t16)
-      sb ++= f""","scaling":{"pairs":$cands,"n_cores":4,"n_sec":${best.t4}%.3f,"n_pairs_per_sec":$rN%.0f,"n4_cores":16,"n4_sec":${best.t16}%.3f,"n4_pairs_per_sec":$r4N%.0f,"speedup":${best.t4 / best.t16}%.3f,"efficiency":${best.eff}%.3f,"runs_n":${best.runsN},"runs_4n":${best.runs4N}}"""
+      sb ++= f""","scaling":{"pairs":$cands,"n_cores":4,"n_sec":${best.t4}%.3f,"n_pairs_per_sec":$rN%.0f,"n4_cores":16,"n4_sec":${best.t16}%.3f,"n4_pairs_per_sec":$r4N%.0f,"speedup":${best.t4 / best.t16}%.3f,"efficiency":${best.eff}%.3f,"runs_n":${best.runsN},"runs_4n":${best.runs4N},"replica_r":${best.r}}"""
       val attemptsJson = state.attempts.map(a =>
-        f"""{"n_sec":${a.t4}%.3f,"n4_sec":${a.t16}%.3f,"efficiency":${a.eff}%.3f,"host_steal_pct":${a.stealPct}%.1f,"runs_n":${a.runsN},"runs_4n":${a.runs4N}}""")
+        f"""{"n_sec":${a.t4}%.3f,"n4_sec":${a.t16}%.3f,"efficiency":${a.eff}%.3f,"host_steal_pct":${a.stealPct}%.1f,"runs_n":${a.runsN},"runs_4n":${a.runs4N},"replica_r":${a.r},"pairs":${a.pairs}}""")
         .mkString("[", ",", "]")
       sb ++= s""","scaling_attempts":$attemptsJson"""
     }
@@ -389,11 +388,28 @@ object Bench {
     }
   }
 
-  /** The full scaling phase, budget-aware: prep once, then (N, 4N)
-    * child-JVM pairs appended to state as they finish. Attempt 1 is a
-    * single-run pair (cheapest possible evidence); later attempts use
-    * min-of-2/3 runs. Stops at efficiency ≥ 0.82, maxAttempts, or the
-    * budget.
+  /** The full scaling phase, budget-aware AND host-speed-adaptive: prep
+    * once, then (N, 4N) child-JVM pairs appended to state as they
+    * finish. Stops at efficiency ≥ 0.82, maxAttempts, or the budget.
+    *
+    * Adaptivity (the r3 lesson — a 20-min host-slow burst made every
+    * leg run ~3-6× long, so fixed min-of-2/3 legs just burned their
+    * whole 6-min timeouts and produced nothing):
+    *   - per-leg run counts are FIT to the measured per-run leg time
+    *     (priors from clean-host runs, updated after every leg,
+    *     inflated to the timeout on a timeout): a run count that can't
+    *     finish inside min(6 min, remaining) isn't attempted — under a
+    *     slow host the protocol degrades to MORE single-run pairs
+    *     across MORE ~5-min host windows, which is the better use of
+    *     the same budget (the pair ratio only needs the two legs to
+    *     share a window; min-of-k mainly fights JIT noise);
+    *   - when the 4-core leg measures > 150 s/run (≥ ~2.5× clean), the
+    *     corpus is re-prepped at R=8 (half the pairs): fixed per-job
+    *     costs — which cap R=8 efficiency at ~0.78 on a FAST host —
+    *     are a small share of a slow host's inflated leg, so the
+    *     half-size job loses little fidelity and fits twice the
+    *     attempts. Each attempt records its own R and pair count; the
+    *     headline uses the best attempt's own numbers.
     *
     * N=4, 4N=16 on this 32-core box: a 4-16 core JVM mirrors production
     * executor sizing (and leaves headroom for GC/OS threads exactly
@@ -409,27 +425,40 @@ object Bench {
     * across distant windows. Per-attempt host steal (/proc/stat) is
     * recorded and every attempt is reported. */
   private def runScaling(dir: String): Unit = {
-    val R = replicaR(16)
     val maxAttempts =
-      sys.env.get("SPARK_GRAFT_SCALING_ATTEMPTS").map(_.toInt).getOrElse(3)
+      sys.env.get("SPARK_GRAFT_SCALING_ATTEMPTS").map(_.toInt).getOrElse(4)
     if (remainingSec < 240) {
       state.synchronized { state.notes += "scaling_skipped_budget" }
       progress("skipping scaling: insufficient budget for prep + one pair")
       return
     }
-    progress(s"scaling prep start (R=$R)")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaling")
-    val corpusPath = tmp.resolve("corpus.parquet").toString
-    val hotPath = tmp.resolve("hotkeys.txt").toString
-    val cands = prepScalingInput(dir, R, corpusPath, hotPath)
-    state.synchronized { state.scalingPairs = Some(cands) }
-    progress(f"scaling prep done: $cands%d candidate pairs")
+    var r = replicaR(16)
+    var corpusPath = ""
+    var hotPath = ""
+    var cands = 0L
+    def prep(): Unit = {
+      progress(s"scaling prep start (R=$r)")
+      corpusPath = tmp.resolve(s"corpus_r$r.parquet").toString
+      hotPath = tmp.resolve(s"hotkeys_r$r.txt").toString
+      cands = prepScalingInput(dir, r, corpusPath, hotPath)
+      progress(f"scaling prep done: $cands%d candidate pairs")
+    }
+    prep()
 
+    // per-run leg-seconds estimates: clean-host priors (R=16), updated
+    // from every measurement, scaled on R switches, inflated on timeout
+    val est = scala.collection.mutable.Map(4 -> 65.0, 16 -> 25.0)
     def legTimeout: Long = math.max(60L, math.min(360L, remainingSec.toLong - 45L))
+    /** Largest runs ≤ desired whose estimated cost (1.3× slack + 40s
+      * child startup) fits the leg timeout; 0 = not even one fits. */
+    def fitRuns(cores: Int, desired: Int): Int =
+      (desired to 1 by -1).find(k => k * est(cores) * 1.3 + 40 <= legTimeout)
+        .getOrElse(0)
     def leg(cores: Int, runs: Int): Option[Double] = {
       if (remainingSec < 105) return None // not even a minimal leg fits
       val t0 = System.nanoTime()
-      val r = childLegSec(cores, corpusPath, hotPath, runs, legTimeout)
+      val r0 = childLegSec(cores, corpusPath, hotPath, runs, legTimeout)
         .orElse {
           // in-process fallback only when forking itself failed fast —
           // if the child consumed its slot, the budget guard above will
@@ -438,31 +467,61 @@ object Bench {
             Some(withSession(cores)(legSeconds(_, corpusPath, hotPath, runs)))
           else None
         }
-      r.foreach(sec => progress(f"leg cores=$cores runs=$runs: $sec%.1fs"))
-      r
+      r0 match {
+        case Some(sec) =>
+          est(cores) = sec // min-of-runs ≈ one warm run
+          progress(f"leg cores=$cores runs=$runs: $sec%.1fs")
+        case None =>
+          // leg didn't finish inside the timeout: raise the estimate so
+          // the next fitRuns adapts downward
+          est(cores) = math.max(est(cores), legTimeout.toDouble / math.max(1, runs))
+      }
+      r0
     }
 
     var attempt = 0
     var done = false
     while (!done && attempt < maxAttempts && remainingSec > 150) {
+      // slow-host fallback: half-size corpus once the 4-core leg is
+      // measured (or estimated, after a timeout) at > 150 s/run
+      if (r == 16 && est(4) > 150 && remainingSec > 300 &&
+        !sys.env.contains("SPARK_GRAFT_R")) {
+        r = 8
+        est(4) *= 0.55; est(16) *= 0.55
+        state.synchronized { state.notes += "scaling_r8_slow_host_fallback" }
+        prep()
+      }
       // attempt 1: single-run pair — guaranteed-cheap scaling evidence;
-      // later attempts: min-of-2 (N) / min-of-3 (4N) for noise robustness
-      val (runsN, runs4N) = if (attempt == 0) (1, 1) else (2, 3)
-      progress(s"scaling attempt ${attempt + 1} (runs $runsN/$runs4N)")
-      val s0 = procStat()
-      val pair = for (t4 <- leg(4, runsN); t16 <- leg(16, runs4N)) yield (t4, t16)
-      val s1 = procStat()
-      val steal =
-        if (s1._2 > s0._2) 100.0 * (s1._1 - s0._1) / (s1._2 - s0._2) else 0.0
-      pair match {
-        case Some((t4, t16)) =>
-          val a = Attempt(t4, t16, steal, runsN, runs4N)
-          state.synchronized { state.attempts += a }
-          progress(f"attempt ${attempt + 1}: t4=$t4%.1fs t16=$t16%.1fs eff=${a.eff}%.3f steal=$steal%.1f%%")
-          done = a.eff >= 0.82
-        case None =>
-          progress(s"attempt ${attempt + 1}: incomplete (timeout/budget)")
-          done = remainingSec < 150
+      // later attempts: up to min-of-2 (N) / min-of-3 (4N), fit to the
+      // measured leg speed. runs4N is capped at runsN+1: the 16-core
+      // leg is the noisier one and earns one extra sample, but a
+      // min-of-3 vs single-run asymmetry would let best-of-noise on
+      // one side inflate the measured efficiency (observed: t16
+      // 44.7 s single → 34.4 s min-of-3 while t4 stayed flat).
+      val desired = if (attempt == 0) (1, 1) else (2, 3)
+      val runsN = fitRuns(4, desired._1)
+      val runs4N = math.min(fitRuns(16, desired._2), runsN + 1)
+      if (runsN == 0 || runs4N == 0) {
+        progress(s"scaling attempt ${attempt + 1}: no leg fits remaining budget, stopping")
+        done = true
+      } else {
+        progress(s"scaling attempt ${attempt + 1} (runs $runsN/$runs4N, R=$r)")
+        val s0 = procStat()
+        val pair = for (t4 <- leg(4, runsN); t16 <- leg(16, runs4N)) yield (t4, t16)
+        val s1 = procStat()
+        val steal =
+          if (s1._2 > s0._2) 100.0 * (s1._1 - s0._1) / (s1._2 - s0._2) else 0.0
+        pair match {
+          case Some((t4, t16)) =>
+            val a = Attempt(t4, t16, steal, runsN, runs4N, r, cands)
+            state.synchronized { state.attempts += a }
+            progress(f"attempt ${attempt + 1}: t4=$t4%.1fs t16=$t16%.1fs eff=${a.eff}%.3f steal=$steal%.1f%%")
+            done = a.eff >= 0.82
+          case None =>
+            progress(s"attempt ${attempt + 1}: incomplete (timeout/budget)")
+            state.synchronized { state.notes += s"attempt${attempt + 1}_incomplete" }
+            done = remainingSec < 150
+        }
       }
       attempt += 1
     }

@@ -33,9 +33,10 @@ import org.apache.spark.sql.functions._
   * driver-side vocabulary, no dense matrices. NB's score fan-out is
   * bounded by (test nnz) × C with the per-class stats broadcast;
   * softmax's exact gradient is O(nnz × C) rows per epoch, which is the
-  * honest cost of full softmax — at 10k classes production would
-  * subsample classes per epoch (sampled softmax), which drops in here
-  * as a filter on the class frame.
+  * honest cost of full softmax — at 10k classes, pass
+  * `classSample = Some(n)` for the sampled-softmax path (deterministic
+  * per-epoch class subset, O(nnz × n) per epoch; see
+  * [[SoftmaxRegression.train]]).
   */
 object NaiveBayesText {
 
@@ -197,11 +198,25 @@ object SoftmaxRegression {
   /** @param feats  (id, term, weight) — e.g. l2-normalized TF-IDF from
     *               [[TfIdf.transformTfIdf]]
     * @param labels (id, label)
+    * @param classSample sampled softmax: when Some(n) with n < C, each
+    *               epoch restricts the softmax (logits, denominator,
+    *               gradient, weight update) to a DETERMINISTIC subset
+    *               of exactly n classes — the first n by
+    *               xxhash64(label, epoch), so the subset rotates every
+    *               epoch and every class trains on ~n/C of the epochs.
+    *               Cuts the per-epoch fan-out from O(nnz × C) to
+    *               O(nnz × n), the standard production move at 10k
+    *               classes; within-epoch normalization over the subset
+    *               is the usual sampled-softmax bias, accepted and
+    *               spec-checked (loss still falls; accuracy lands near
+    *               the exact path). The class-ranking window runs on
+    *               ONE partition of C rows — the class list, not data.
     * @return weights (label, term, w) */
   def train(
       feats: DataFrame, labels: DataFrame,
-      epochs: Int = 15, lr: Double = 0.5, lambda: Double = 1e-4): DataFrame = {
-    val classes = labels.select("label").distinct()
+      epochs: Int = 15, lr: Double = 0.5, lambda: Double = 1e-4,
+      classSample: Option[Int] = None): DataFrame = {
+    val classes = labels.select("label").distinct().localCheckpoint()
     val nClasses = classes.count().toDouble
     val nDocs = labels.select("id").distinct().count().toDouble
     // Σ_d x_dt·y_dc — the label part of the gradient, constant across
@@ -213,10 +228,20 @@ object SoftmaxRegression {
       .localCheckpoint()
     var epoch = 0
     while (epoch < epochs) {
-      val logits = feats.join(weights, "term")
+      // per-epoch class subset (sampled softmax) or the full model
+      val (wEpoch, cEpoch) = classSample match {
+        case Some(n) if n < nClasses =>
+          val sampled = classes
+            .withColumn("__rk", row_number().over(
+              Window.orderBy(xxhash64(col("label"), lit(epoch)), col("label"))))
+            .filter(col("__rk") <= n).drop("__rk")
+          (weights.join(broadcast(sampled), "label"), n.toDouble)
+        case _ => (weights, nClasses)
+      }
+      val logits = feats.join(wEpoch, "term")
         .groupBy("id", "label").agg(sum(col("weight") * col("w")).as("s"))
       val denom = logits.groupBy("id")
-        .agg((sum(exp(col("s"))) + (lit(nClasses) - count(lit(1)))).as("z"))
+        .agg((sum(exp(col("s"))) + (lit(cEpoch) - count(lit(1)))).as("z"))
       // p for PRESENT (id,label) pairs; absent pairs have p = 1/z and
       // x_dt ≠ 0 only through present terms, so the absent-class
       // gradient flows through the same join with p_absent folded in
@@ -232,14 +257,16 @@ object SoftmaxRegression {
       // denominator correction above, which is exact.)
       val gradP = feats.join(p, "id")
         .groupBy("label", "term").agg(sum(col("weight") * col("p")).as("xp"))
-      val grad = weights.join(gradP, Seq("label", "term"), "left")
+      val grad = wEpoch.join(gradP, Seq("label", "term"), "left")
         .join(yPart, Seq("label", "term"), "left")
         .select(col("label"), col("term"),
           (coalesce(col("xp"), lit(0.0)) - coalesce(col("xy"), lit(0.0)) +
             lit(lambda) * col("w")).as("g"))
-      weights = weights.join(grad, Seq("label", "term"))
+      // left join + coalesce(g, 0): classes outside this epoch's sample
+      // keep their weights untouched
+      weights = weights.join(grad, Seq("label", "term"), "left")
         .select(col("label"), col("term"),
-          (col("w") - lit(lr / nDocs) * col("g")).as("w"))
+          (col("w") - lit(lr / nDocs) * coalesce(col("g"), lit(0.0))).as("w"))
         .localCheckpoint()
       epoch += 1
     }

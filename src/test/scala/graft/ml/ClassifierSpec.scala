@@ -50,6 +50,27 @@ class ClassifierSpec extends SparkSpec {
     assert(acc >= 0.95, s"separable-corpus accuracy too low: $acc")
   }
 
+  test("sampled softmax (classSample) still learns, lands near the exact path") {
+    val w0 = SoftmaxRegression.train(feats, labels, epochs = 0)
+    val wEx = SoftmaxRegression.train(feats, labels, epochs = 10, lr = 2.0)
+    // 2-of-3 classes per epoch, deterministic rotation: each class
+    // trains on ~2/3 of the epochs, so give it proportionally more
+    val wSm = SoftmaxRegression.train(feats, labels, epochs = 15, lr = 2.0,
+      classSample = Some(2))
+    val l0 = SoftmaxRegression.loss(feats, labels, w0)
+    val lSm = SoftmaxRegression.loss(feats, labels, wSm)
+    assert(lSm < l0 * 0.7, s"sampled softmax did not reduce loss: $l0 -> $lSm")
+    def acc(w: DataFrame): Double =
+      SoftmaxRegression.predict(feats, w, labels.select("id"))
+        .join(labels, "id")
+        .agg(avg(when(col("label_pred") === col("label"), 1.0).otherwise(0.0)))
+        .head().getDouble(0)
+    val (aEx, aSm) = (acc(wEx), acc(wSm))
+    assert(aSm >= 0.9, s"sampled-softmax accuracy too low: $aSm")
+    assert(math.abs(aEx - aSm) <= 0.1,
+      s"sampled path too far from exact: exact=$aEx sampled=$aSm")
+  }
+
   test("S9: model artifact save/load round-trips the weights frame") {
     val w = SoftmaxRegression.train(feats, labels, epochs = 3, lr = 1.0)
     val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
