@@ -90,7 +90,16 @@ object Bench {
       sb ++= f""","scored_pairs":$c,"match_sec":$sec%.3f,"pairs_per_sec":$rate%.0f"""
     }
     if (state.attempts.nonEmpty) {
-      val best = state.attempts.maxBy(_.eff)
+      // efficiency > ~1 is physically implausible for this job — it
+      // means the host sped up between the attempt's two legs (observed:
+      // a 2.7×-slow 4-core leg followed by a clean-window 16-core leg
+      // read 1.54). Prefer the best PLAUSIBLE attempt as the headline;
+      // fall back to the raw best (with a note) only if every attempt
+      // is implausible.
+      val plausible = state.attempts.filter(_.eff <= 1.05)
+      val best = (if (plausible.nonEmpty) plausible else state.attempts).maxBy(_.eff)
+      if (plausible.isEmpty && !state.notes.contains("scaling_all_attempts_implausible"))
+        state.notes += "scaling_all_attempts_implausible"
       val cands = best.pairs
       val (rN, r4N) = (cands / best.t4, cands / best.t16)
       sb ++= f""","scaling":{"pairs":$cands,"n_cores":4,"n_sec":${best.t4}%.3f,"n_pairs_per_sec":$rN%.0f,"n4_cores":16,"n4_sec":${best.t16}%.3f,"n4_pairs_per_sec":$r4N%.0f,"speedup":${best.t4 / best.t16}%.3f,"efficiency":${best.eff}%.3f,"runs_n":${best.runsN},"runs_4n":${best.runs4N},"replica_r":${best.r}}"""
@@ -507,7 +516,14 @@ object Bench {
       } else {
         progress(s"scaling attempt ${attempt + 1} (runs $runsN/$runs4N, R=$r)")
         val s0 = procStat()
-        val pair = for (t4 <- leg(4, runsN); t16 <- leg(16, runs4N)) yield (t4, t16)
+        // alternate the leg order across attempts: host speed can shift
+        // BETWEEN a pair's legs (the drift the pairing can't remove) and
+        // a fixed order would bias every attempt the same direction
+        val pair =
+          if (attempt % 2 == 0)
+            for (t4 <- leg(4, runsN); t16 <- leg(16, runs4N)) yield (t4, t16)
+          else
+            for (t16 <- leg(16, runs4N); t4 <- leg(4, runsN)) yield (t4, t16)
         val s1 = procStat()
         val steal =
           if (s1._2 > s0._2) 100.0 * (s1._1 - s0._1) / (s1._2 - s0._2) else 0.0
@@ -516,7 +532,9 @@ object Bench {
             val a = Attempt(t4, t16, steal, runsN, runs4N, r, cands)
             state.synchronized { state.attempts += a }
             progress(f"attempt ${attempt + 1}: t4=$t4%.1fs t16=$t16%.1fs eff=${a.eff}%.3f steal=$steal%.1f%%")
-            done = a.eff >= 0.82
+            // stop only on a PLAUSIBLE pass — eff > ~1 means the host
+            // sped up between the legs, evidence of drift, not scaling
+            done = a.eff >= 0.82 && a.eff <= 1.05
           case None =>
             progress(s"attempt ${attempt + 1}: incomplete (timeout/budget)")
             state.synchronized { state.notes += s"attempt${attempt + 1}_incomplete" }

@@ -290,20 +290,33 @@ object ExtraQueries {
       |       CAST(count(*) OVER (PARTITION BY lang, source) > 1 AS INT) AS is_dup
       |FROM documents
       |""".stripMargin,
-    "d_minhash_pairs" -> s"""
+    // MinHash mirror of Dedup.mhMix: per-seed 60-bit xor constant, then
+    // the premasked xorshift steps — each stage its own list_transform
+    // so intermediates bind once (no md5 re-evaluation).
+    "d_minhash_pairs" -> {
+      val consts = Dedup.mhSeedConsts.take(16).mkString("[", ", ", "]")
+      s"""
       |WITH sh AS (
       |  SELECT doc_id,
       |         list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 0)),
       |                       i -> substring(text, CAST(i AS INT), 5))) AS sh
       |  FROM documents
+      |), hs AS (
+      |  SELECT doc_id, sh,
+      |         list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+      |  FROM sh WHERE len(sh) > 0
       |), sig AS (
       |  SELECT doc_id, sh,
       |         list_transform(generate_series(0, 15), seed ->
-      |           list_min(list_transform(sh, s ->
-      |             (((seed * 2654435761 + 1) % 2147483647) *
-      |              (CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647)
-      |              + (seed * 40503 + 7) % 2147483647) % 2147483647))) AS sig
-      |  FROM sh WHERE len(sh) > 0
+      |           list_min(
+      |             list_transform(
+      |               list_transform(
+      |                 list_transform(
+      |                   list_transform(hs, h -> xor(h, $consts[CAST(seed+1 AS INT)])),
+      |                   x -> xor(x, (x & ${(1L << 47) - 1}) << 13)),
+      |                 x -> xor(x, x >> 29)),
+      |               x -> xor(x, (x & ${(1L << 43) - 1}) << 17)))) AS sig
+      |  FROM hs
       |), bands AS (
       |  SELECT doc_id, sh,
       |         unnest(list_transform(generate_series(0, 3), b ->
@@ -321,7 +334,8 @@ object ExtraQueries {
       |FROM cand
       |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
       |      CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= 0.5
-      |""".stripMargin,
+      |""".stripMargin
+    },
     "d_simhash" -> s"""
       |WITH h AS (
       |  SELECT doc_id,

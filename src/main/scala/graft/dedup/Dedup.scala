@@ -62,31 +62,54 @@ object Dedup {
       .otherwise(lit(Array.empty[String]))
   }
 
-  /** Carter-Wegman seeded hash family over ONE md5-derived base hash:
-    * h_seed(s) = (a(seed)·h0(s) + b(seed)) mod (2^31−1), with
-    * h0 = (first 60 bits of md5(s)) mod (2^31−1) and a,b derived from
-    * the seed by fixed multipliers. One md5 per shingle instead of one
-    * per (shingle, seed) — at 10^12-shingle scale the md5 dominates the
-    * signature stage, and the mix is a handful of integer ops.
+  /** Seeded 60-bit hash family over ONE md5-derived base hash:
+    * h_seed(s) = xorshift60(h0(s) XOR C_seed), with h0 = first 60 bits
+    * of md5(s) and C_seed a fixed 60-bit constant per seed (md5 of the
+    * seed, computed once driver-side and inlined as a literal array).
+    * One md5 per shingle instead of one per (shingle, seed) — at
+    * 10^12-shingle scale the md5 dominates the signature stage, and
+    * the mix is six xor/shift/mask ops.
     *
     * Base-hash collisions are perfectly CORRELATED across seeds (two
     * shingles colliding in h0 collide under every seed — the price of
-    * the single-md5 family), so h0 takes 60 md5 bits reduced mod p:
-    * the collision birthday bound is 2^31, not the 2^28 a truncated
-    * 28-bit hash had. With a < p and h0 < p, a·h0+b < 2^62 — exact in
-    * both Spark (Java long) and DuckDB (BIGINT), so the oracle mirrors
-    * the arithmetic digit for digit. */
-  val mhPrime = 2147483647L // 2^31 − 1
-  private def mhMix(seed: Column, h0: Column): Column =
-    (((seed * lit(2654435761L) + lit(1L)) % mhPrime) * h0 +
-      (seed * lit(40503L) + lit(7L)) % mhPrime) % mhPrime
-  def baseHashModP(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % mhPrime
+    * the single-md5 family), which is why the family keeps ALL 60 md5
+    * bits: the xorshift steps are bijections on [0, 2^60) (each is an
+    * invertible GF(2) linear map), so the per-seed hash introduces ZERO
+    * collisions beyond h0's own — and at 2^60 even 10^9 distinct
+    * shingles expect < 1 colliding pair. (An earlier mod-(2^31−1)
+    * Carter-Wegman reduction respected int64 arithmetic but kept only
+    * 31 bits — at 10^9 shingles that's ~0.2 expected collisions PER
+    * SHINGLE, all correlated across seeds.)
+    *
+    * Portability: left shifts are pre-masked (`(x & 2^(60−s)−1) << s`
+    * ≡ `(x << s) & mask60` with every intermediate < 2^60 < 2^63), so
+    * the identical expressions run overflow-free under Spark's ANSI
+    * mode and DuckDB's checked BIGINT, and the oracle mirrors the
+    * arithmetic digit for digit. */
+  val mhMask60 = (1L << 60) - 1
+  /** Per-seed xor constants: first 60 bits of md5("mh:<seed>"). */
+  val mhSeedConsts: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 64).map { seed =>
+      val hex = md.digest(s"mh:$seed".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }.toArray
+  }
+  private def mhMix(seed: Column, h0: Column): Column = {
+    val c = element_at(lit(mhSeedConsts), (seed + 1).cast("int"))
+    val x0 = h0.bitwiseXOR(c)
+    val x1 = x0.bitwiseXOR(shiftleft(x0.bitwiseAND(lit((1L << 47) - 1)), 13))
+    val x2 = x1.bitwiseXOR(shiftright(x1, 29))
+    x2.bitwiseXOR(shiftleft(x2.bitwiseAND(lit((1L << 43) - 1)), 17))
+  }
+  def baseHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the min hash over the shingle set. Empty shingle set -> nulls. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
-    val h0s = transform(shingleCol, (s: Column) => baseHashModP(s))
+    val h0s = transform(shingleCol, (s: Column) => baseHash60(s))
     transform(sequence(lit(0), lit(numHashes - 1)), seed =>
       array_min(transform(h0s, h0 => mhMix(seed.cast("long"), h0))))
   }
@@ -122,7 +145,7 @@ object Dedup {
   def minhashSignatureRelational(
       withShingles: DataFrame, numHashes: Int): DataFrame = {
     val exploded = withShingles.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), baseHashModP(col("s")).as("h0")) // md5 ONCE per shingle
+      .select(col("id"), baseHash60(col("s")).as("h0")) // md5 ONCE per shingle
       .select(col("id"),
         explode(sequence(lit(0L), lit(numHashes - 1L))).as("seed"), col("h0"))
       .select(col("id"), col("seed"), mhMix(col("seed"), col("h0")).as("h"))
