@@ -64,8 +64,10 @@ object ConnectedComponents {
       .select(col(srcCol).as("id")).union(edges.select(col(dstCol).as("id")))
       .distinct()
 
+    // lazy localCheckpoint: the signature() action right below
+    // materializes it — no separate job just to persist
     var e = canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(
@@ -90,43 +92,56 @@ object ConnectedComponents {
     val inputSig = s"${sig0._1}_${sig0._2}"
 
     /** Round persistence: TableIO snapshot (resumable, reliable) when
-      * configured for this round, localCheckpoint otherwise. The
-      * lineage key (input signature + round + step) makes a re-run over
+      * configured for this round, LAZY localCheckpoint otherwise (the
+      * convergence signature() action that always follows materializes
+      * it — an eager checkpoint would cost one extra job per round,
+      * and on a small graph those fixed job costs ARE the runtime). The
+      * lineage key (input signature + round) makes a re-run over
       * identical input resume from every already-committed round. */
-    def persist(df: DataFrame, round: Int, step: String): DataFrame =
+    def persist(df: DataFrame, round: Int): DataFrame =
       checkpoint match {
         case Some(c) if round % math.max(1, c.everyRounds) == 0 =>
           val (restored, _) = graft.io.TableIO.resumeOrCompute(
-            spark, c.root, s"${c.table}_${step}_r$round",
-            Map("input_sig" -> inputSig, "round" -> round.toString,
-              "step" -> step))(df)
+            spark, c.root, s"${c.table}_r$round",
+            Map("input_sig" -> inputSig, "round" -> round.toString))(df)
           restored
-        case _ => df.localCheckpoint()
+        case _ => df.localCheckpoint(false)
       }
 
     var sig = sig0
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // large-star
+      // large-star: the emissions ALONE are the next edge set (Kiveris
+      // Lemma: connectivity is preserved, and no non-isolated vertex
+      // drops out — if min(Γ⁺(a)) < a then a has a neighbor c < a,
+      // and c's own large-star emits (a, m_c)). An earlier version
+      // also unioned the previous edges as belt-and-braces; that
+      // doubled the canon/distinct input per round for nothing.
       val nb1 = neighbors(e)
       val large = withMin(nb1)
         .filter(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v"))
-      val e1 = persist(canon(large.union(e.select(col("u"), col("v")))), iter, "large")
-      // NOTE: the classic formulation replaces the edge set with the
-      // large-star output alone; unioning the previous edges keeps
-      // correctness trivially (connectivity is preserved both ways) at
-      // the cost of a slightly larger intermediate — and small-star
-      // below contracts it again.
+      // large-star output is NOT persisted separately: both half-steps
+      // chain into one plan, so each round costs ONE job (the signature
+      // action) instead of three — on graphs far below the partition
+      // count the per-job fixed cost dominates the actual shuffle work
+      val e1 = canon(large)
 
-      // small-star
+      // small-star, single pass: each (a, b, m) row yields (b, m) when
+      // b <= a, and every row carries (a, m) — one explode instead of
+      // two scans of the aggregated+joined frame (withMin is a
+      // groupBy + join; computing it twice doubled the round's work)
       val nb2 = neighbors(e1)
       val small = withMin(nb2)
-        .filter(col("b") <= col("a"))
-        .select(col("b").as("u"), col("m").as("v"))
-        .union(withMin(nb2).select(col("a").as("u"), col("m").as("v")))
-      val e2 = persist(canon(small), iter, "small")
+        .select(explode(
+          when(col("b") <= col("a"), array(
+            struct(col("b").as("u"), col("m").as("v")),
+            struct(col("a").as("u"), col("m").as("v"))))
+          .otherwise(array(
+            struct(col("a").as("u"), col("m").as("v"))))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val e2 = persist(canon(small), iter)
 
       val newSig = signature(e2)
       converged = newSig == sig
