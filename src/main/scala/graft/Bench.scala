@@ -600,7 +600,10 @@ object Bench {
       // headline scored-pair throughput at full core count, same
       // methodology as the scaling runs (cached normalize, timed scoring)
       if (remainingSec > 300) {
-        val runs = if (remainingSec > 480) 2 else 1
+        // min-of-3 when the budget is comfortable: single-window host
+        // noise moved the min-of-2 headline 1.1-1.75M pairs/sec across
+        // otherwise-identical runs; a third sample costs ~22s
+        val runs = if (remainingSec > 900) 3 else if (remainingSec > 480) 2 else 1
         progress(s"throughput start (runs=$runs)")
         try {
           val (c, sec, rate) = matchThroughput(s, dir, warm = remainingSec > 480, runs)
