@@ -82,8 +82,11 @@ object Bench {
     val qs = state.queries
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     // failed queries keep their -1 sentinel in "queries" but are NOT
-    // summed into the headline total (they'd silently understate it)
-    val total = state.queries.values.filter(_ >= 0.0).sum
+    // summed into the headline total (they'd silently understate it);
+    // a run where NOTHING completed reports the sentinel, not a
+    // best-possible-looking 0.000
+    val completed = state.queries.values.filter(_ >= 0.0)
+    val total = if (completed.nonEmpty) completed.sum else -1.0
     val sb = new StringBuilder
     sb ++= f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${state.sfDir}""""
     state.throughput.foreach { case (c, sec, rate) =>

@@ -99,16 +99,22 @@ object Dedup {
   private def mhMix(seed: Column, h0: Column): Column = {
     val c = element_at(lit(mhSeedConsts), (seed + 1).cast("int"))
     val x0 = h0.bitwiseXOR(c)
-    val x1 = x0.bitwiseXOR(shiftleft(x0.bitwiseAND(lit((1L << 47) - 1)), 13))
+    // premasks derived from mask60: (x << s) & mask60 without overflow
+    val x1 = x0.bitwiseXOR(shiftleft(x0.bitwiseAND(lit(mhMask60 >> 13)), 13))
     val x2 = x1.bitwiseXOR(shiftright(x1, 29))
-    x2.bitwiseXOR(shiftleft(x2.bitwiseAND(lit((1L << 43) - 1)), 17))
+    x2.bitwiseXOR(shiftleft(x2.bitwiseAND(lit(mhMask60 >> 17)), 17))
   }
+  private def requireSeeds(numHashes: Int): Unit =
+    require(numHashes <= mhSeedConsts.length,
+      s"numHashes=$numHashes exceeds the ${mhSeedConsts.length} precomputed " +
+        "seed constants (element_at would throw under ANSI mode); extend mhSeedConsts")
   def baseHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the min hash over the shingle set. Empty shingle set -> nulls. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    requireSeeds(numHashes)
     val h0s = transform(shingleCol, (s: Column) => baseHash60(s))
     transform(sequence(lit(0), lit(numHashes - 1)), seed =>
       array_min(transform(h0s, h0 => mhMix(seed.cast("long"), h0))))
@@ -144,6 +150,7 @@ object Dedup {
     * shingle sets. */
   def minhashSignatureRelational(
       withShingles: DataFrame, numHashes: Int): DataFrame = {
+    requireSeeds(numHashes)
     val exploded = withShingles.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), baseHash60(col("s")).as("h0")) // md5 ONCE per shingle
       .select(col("id"),

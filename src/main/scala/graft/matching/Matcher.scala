@@ -199,7 +199,10 @@ object Matcher {
         // BOTH sides of the left-join flag (wrong candidate pairs), so
         // every source is deduped before the broadcast
         val hotDf = (cfg.knownHotKeysDf, cfg.knownHotKeys) match {
-          case (Some(df), _) => df.select("block_key").distinct()
+          // same broadcast cap as the detection path: keys beyond it
+          // simply stay unsalted (perf-only; AQE skew-join still splits
+          // them at runtime)
+          case (Some(df), _) => df.select("block_key").distinct().limit(1000000)
           case (None, Some(keys)) =>
             left.sparkSession
               .createDataset(keys.distinct)(org.apache.spark.sql.Encoders.STRING)

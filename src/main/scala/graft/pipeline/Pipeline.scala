@@ -80,18 +80,25 @@ object Pipeline {
 
     // normalize-commit-time statistic: hot block keys of THIS snapshot,
     // as a snapshot table of their own (a DataFrame end to end — no
-    // collect in the production path)
-    val (hotKeys, rHot) = TableIO.resumeOrCompute(spark, workRoot, "hot_keys",
-      lineage("hot_keys")) {
-      Matcher.hotBlockKeysDf(
-        convNorm.filter(col("variant") === 0),
-        convNorm.filter(col("variant") > 0),
-        cfg, textCol = "text_norm")
-    }
+    // collect in the production path). Only computed when the match
+    // stage will actually salt with it: on a non-salting config the
+    // two full-corpus histogram aggregations would be pure waste.
+    val needsHotKeys =
+      cfg.saltBuckets > 1 && cfg.knownHotKeys.isEmpty && cfg.knownHotKeysDf.isEmpty
+    val hotStage =
+      if (needsHotKeys)
+        Some(TableIO.resumeOrCompute(spark, workRoot, "hot_keys",
+          lineage("hot_keys")) {
+          Matcher.hotBlockKeysDf(
+            convNorm.filter(col("variant") === 0),
+            convNorm.filter(col("variant") > 0),
+            cfg, textCol = "text_norm")
+        })
+      else None
 
     val (matches, r2) = TableIO.resumeOrCompute(spark, workRoot, "matches",
       lineage("matches")) {
-      matchStageDf(convNorm, cfg, Some(hotKeys))
+      matchStageDf(convNorm, cfg, hotStage.map(_._1))
     }
 
     val (clusters, r3) = TableIO.resumeOrCompute(spark, workRoot, "clusters",
@@ -100,11 +107,13 @@ object Pipeline {
     }
 
     Result(
-      Seq(
-        StageResult("conv_norm", convNorm.count(), r1),
-        StageResult("hot_keys", hotKeys.count(), rHot),
-        StageResult("matches", matches.count(), r2),
-        StageResult("clusters", clusters.count(), r3)),
+      Seq(StageResult("conv_norm", convNorm.count(), r1)) ++
+        hotStage.map { case (df, resumed) =>
+          StageResult("hot_keys", df.count(), resumed)
+        } ++
+        Seq(
+          StageResult("matches", matches.count(), r2),
+          StageResult("clusters", clusters.count(), r3)),
       matches, clusters)
   }
 }

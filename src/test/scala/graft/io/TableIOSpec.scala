@@ -36,15 +36,14 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.latestSnapshotId(root, "t").contains(1L))
   }
 
-  test("pipeline: full run commits 4 stages; second run resumes all") {
+  test("pipeline: full run commits 3 stages; second run resumes all") {
     val root = tmpRoot()
+    // default config doesn't salt, so no hot_keys statistic stage
+    // (PipelineSpec covers the salted 4-stage shape)
     val first = Pipeline.run(spark, sf0001, root)
-    assert(first.stages.map(_.table) ==
-      Seq("conv_norm", "hot_keys", "matches", "clusters"))
+    assert(first.stages.map(_.table) == Seq("conv_norm", "matches", "clusters"))
     assert(first.stages.forall(!_.resumed))
-    // hot_keys may legitimately be empty (no pathological blocks at
-    // this sf with the default threshold); the data stages must not be
-    assert(first.stages.filterNot(_.table == "hot_keys").forall(_.rows > 0))
+    assert(first.stages.forall(_.rows > 0))
     val second = Pipeline.run(spark, sf0001, root)
     assert(second.stages.forall(_.resumed), s"expected full resume: ${second.stages}")
     // and results identical across the resume boundary
