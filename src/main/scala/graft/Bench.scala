@@ -503,14 +503,17 @@ object Bench {
         state.synchronized { state.notes += "scaling_r8_slow_host_fallback" }
         prep()
       }
-      // attempt 1: single-run pair — guaranteed-cheap scaling evidence;
+      // attempt 1: cheap 1/2-run pair — guaranteed scaling evidence
+      // fast (the 16-core leg gets a second run because its JIT-cold
+      // first run is a ~13% penalty on a ~35 s job, which biases the
+      // single-run ratio LOW; the 4-core leg's is ~1% on ~120 s);
       // later attempts: up to min-of-2 (N) / min-of-3 (4N), fit to the
       // measured leg speed. runs4N is capped at runsN+1: the 16-core
       // leg is the noisier one and earns one extra sample, but a
       // min-of-3 vs single-run asymmetry would let best-of-noise on
       // one side inflate the measured efficiency (observed: t16
       // 44.7 s single → 34.4 s min-of-3 while t4 stayed flat).
-      val desired = if (attempt == 0) (1, 1) else (2, 3)
+      val desired = if (attempt == 0) (1, 2) else (2, 3)
       val runsN = fitRuns(4, desired._1)
       val runs4N = math.min(fitRuns(16, desired._2), runsN + 1)
       if (runsN == 0 || runs4N == 0) {
