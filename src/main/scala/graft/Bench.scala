@@ -195,34 +195,65 @@ object Bench {
   // -- workloads -----------------------------------------------------------
 
   /** The flagship job: transcript conv docs (12 variants at bench scale)
-    * -> normalize -> block -> token_set_ratio score -> threshold/topk. */
-  private def transcriptMatch(s: SparkSession, dir: String): DataFrame = {
-    val conv = SparkEntryBench.convNormV(s, dir, variants = 12)
-    Matcher.matchPairs(
+    * -> normalize -> block -> token_set_ratio score -> threshold/topk.
+    *
+    * The normalized corpus is cached INSIDE the timed plan: the matcher
+    * references each side twice (hot-key detection subplan + the join
+    * itself) and both sides share one derivation, so an uncached plan
+    * recomputes the turn-assembly + normalize ~4×. Caching materializes
+    * it once — within the timed region — which is also the production
+    * shape, where matching reads the committed normalize snapshot. */
+  private def transcriptMatch(s: SparkSession, dir: String): Long = {
+    val conv = SparkEntryBench.convNormV(s, dir, variants = 12).cache()
+    try Matcher.matchPairs(
       conv.filter(col("variant") === 0),
       conv.filter(col("variant") > 0),
       MatchConfig.reference.copy(saltBuckets = 8),
-      idCol = "conv_id", textCol = "text_norm")
+      idCol = "conv_id", textCol = "text_norm").count()
+    finally conv.unpersist()
   }
 
   /** addr match with 8-way salting — same semantics as
-    * SparkEntry.addrMatchLev (equivalence is tested), hot blocks split. */
-  private def addrMatchSalted(s: SparkSession, dir: String): DataFrame =
-    Matcher.matchPairs(
-      SparkEntry.addrNorm(AddressFixture.left(s, dir)),
-      SparkEntry.addrNorm(AddressFixture.rightAll(s, dir)),
+    * SparkEntry.addrMatchLev (equivalence is tested), hot blocks split.
+    * Normalized sides cached for the same multi-reference reason as
+    * [[transcriptMatch]]; `consume` lets clusters_cc chain CC over the
+    * match output before the sides are unpersisted. */
+  private def addrMatchSalted(s: SparkSession, dir: String,
+      consume: DataFrame => Long = _.count()): Long = {
+    val lhs = SparkEntry.addrNorm(AddressFixture.left(s, dir)).cache()
+    val rhs = SparkEntry.addrNorm(AddressFixture.rightAll(s, dir)).cache()
+    try consume(Matcher.matchPairs(lhs, rhs,
       MatchConfig(scorer = "lev_ratio", threshold = 75, topk = 3,
         blockBy = "digits+prefix6", wDigits = 0.15, wGeo = 0.05,
         geoMaxKm = 1.5, saltBuckets = 8),
-      idCol = "id", textCol = "address_norm", hasGeo = true)
+      idCol = "id", textCol = "address_norm", hasGeo = true))
+    finally { lhs.unpersist(); rhs.unpersist() }
+  }
 
   private def queriesFor(s: SparkSession, dir: String): Seq[(String, () => Long)] = Seq(
-    "match_transcripts_tsr" -> (() => transcriptMatch(s, dir).count()),
-    "match_addr_lev" -> (() => addrMatchSalted(s, dir).count()),
-    "clusters_cc" -> (() =>
-      ConnectedComponents.run(addrMatchSalted(s, dir), "left_id", "right_id").count()),
+    "match_transcripts_tsr" -> (() => transcriptMatch(s, dir)),
+    "match_addr_lev" -> (() => addrMatchSalted(s, dir)),
+    "clusters_cc" -> (() => addrMatchSalted(s, dir,
+      m => ConnectedComponents.run(m, "left_id", "right_id").count())),
     "minhash_dedup" -> (() => ExtraQueries.queries("d_minhash_pairs")(s, dir).count()),
     "ann_brute" -> (() => ExtraQueries.queries("v_ann_brute")(s, dir).count()))
+
+  /** Untimed warmup before the suite: a small end-to-end match over the
+    * same code paths (parquet scan, turn assembly, normalize codegen,
+    * salted block join, scorer expressions, shuffle machinery). The
+    * suite's first query otherwise pays the whole JVM/JIT/Janino
+    * cold-start tax (~10-15s measured at sf0.1) and reports engine +
+    * warmup instead of the engine; steady-state is also what the
+    * min-of-N throughput phase already reports. */
+  private def warmupSuite(s: SparkSession, dir: String): Unit = {
+    val conv = SparkEntryBench.convNormV(s, dir, variants = 2).cache()
+    try Matcher.matchPairs(
+      conv.filter(col("variant") === 0).limit(500),
+      conv.filter(col("variant") > 0).limit(1500),
+      MatchConfig.reference.copy(saltBuckets = 8),
+      idCol = "conv_id", textCol = "text_norm").count()
+    finally conv.unpersist()
+  }
 
   /** One scored-pair throughput measurement on an existing session:
     * (candidate pairs scored, seconds, pairs/sec).
@@ -587,6 +618,10 @@ object Bench {
     // Per-query budget guard: keep enough runway for throughput (~180s)
     // + scaling (~420s) + emit margin.
     withSession(cpus) { s =>
+      if (remainingSec > 700) {
+        val (_, wsec) = time(try warmupSuite(s, dir) catch { case _: Exception => () })
+        progress(f"warmup (untimed): $wsec%.1fs")
+      }
       progress("suite start")
       queriesFor(s, dir).foreach { case (name, job) =>
         if (remainingSec < 660) {

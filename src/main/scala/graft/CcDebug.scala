@@ -1,0 +1,42 @@
+package graft
+
+import graft.cluster.ConnectedComponents
+import graft.fixtures.AddressFixture
+import graft.matching.{MatchConfig, Matcher}
+import org.apache.spark.sql.SparkSession
+
+/** Scratch diagnostics for clusters_cc tuning (not part of the driver
+  * contract): materializes the match edges untimed, then times the CC
+  * loop alone with GRAFT_CC_DEBUG round lines. */
+object CcDebug {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val s = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 256)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    val matches = Matcher.matchPairs(
+      SparkEntry.addrNorm(AddressFixture.left(s, dir)),
+      SparkEntry.addrNorm(AddressFixture.rightAll(s, dir)),
+      MatchConfig(scorer = "lev_ratio", threshold = 75, topk = 3,
+        blockBy = "digits+prefix6", wDigits = 0.15, wGeo = 0.05,
+        geoMaxKm = 1.5, saltBuckets = 8),
+      idCol = "id", textCol = "address_norm", hasGeo = true).cache()
+    val t0 = System.nanoTime()
+    val m = matches.count()
+    val tMatch = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[cc-debug] match edges=$m%d in $tMatch%.1fs (cached)")
+    sys.env.get("DEBUG_AQE").foreach(v => s.conf.set("spark.sql.adaptive.enabled", v))
+    sys.env.get("DEBUG_PARTS").foreach(v => s.conf.set("spark.sql.shuffle.partitions", v))
+    for (run <- 1 to 2) {
+      val t1 = System.nanoTime()
+      val c = ConnectedComponents.run(matches, "left_id", "right_id").count()
+      System.err.println(
+        f"[cc-debug] run $run%d: components rows=$c%d cc wall=${(System.nanoTime() - t1) / 1e9}%.1fs")
+    }
+    s.stop()
+    Runtime.getRuntime.halt(0)
+  }
+}

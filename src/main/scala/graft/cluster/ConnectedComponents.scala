@@ -42,6 +42,20 @@ object ConnectedComponents {
 
   /** @param edges DataFrame with two string/integral columns naming an
     *              undirected edge (self-loops and duplicates welcome)
+    * @param checkEvery convergence-check cadence: how many
+    *        large+small-star rounds chain into ONE job between
+    *        signature checks. Both star steps are deterministic and
+    *        strictly decrease the Kiveris potential on any change, so
+    *        the map has no cycles and signature equality at distance
+    *        `checkEvery` still implies a fixed point. Measured at
+    *        local[32] on the sf0.1 match graph this is NEUTRAL (a
+    *        chained 2-round job costs ~2× a 1-round job — per-round
+    *        cost is shuffle-stage latency, which chaining keeps), so
+    *        the default stays 1; raise it on a real cluster where the
+    *        driver round-trip + job-submission barrier per signature
+    *        check is the cost you want amortized. The worst case
+    *        computes `checkEvery-1` extra no-op rounds, which chain
+    *        into the job that detects convergence.
     * @return (id, component) — every vertex mapped to the minimum vertex
     *         id of its connected component
     */
@@ -50,7 +64,8 @@ object ConnectedComponents {
       srcCol: String = "src",
       dstCol: String = "dst",
       maxIter: Int = 25,
-      checkpoint: Option[CcCheckpoint] = None): DataFrame = {
+      checkpoint: Option[CcCheckpoint] = None,
+      checkEvery: Int = 1): DataFrame = {
     val spark = edges.sparkSession
 
     def canon(e: DataFrame): DataFrame =
@@ -108,25 +123,32 @@ object ConnectedComponents {
         case _ => df.localCheckpoint(false)
       }
 
-    var sig = sig0
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
+    // optional round-level diagnostics (GRAFT_CC_DEBUG=1): one stderr
+    // line per round with edge count + wall — the first thing to look
+    // at when clustering wall time surprises at any scale
+    val debug = sys.env.get("GRAFT_CC_DEBUG").exists(_ == "1")
+
+    /** One alternating round (large-star then small-star), pure plan —
+      * no action, no persistence; rounds chain until the caller
+      * persists + checks. */
+    def oneRound(ed: DataFrame): DataFrame = {
       // large-star: the emissions ALONE are the next edge set (Kiveris
       // Lemma: connectivity is preserved, and no non-isolated vertex
       // drops out — if min(Γ⁺(a)) < a then a has a neighbor c < a,
       // and c's own large-star emits (a, m_c)). An earlier version
       // also unioned the previous edges as belt-and-braces; that
       // doubled the canon/distinct input per round for nothing.
-      val nb1 = neighbors(e)
-      val large = withMin(nb1)
+      val nb1 = neighbors(ed)
+      // no canon/distinct between the half-steps (matching the original
+      // MapReduce formulation): large-star emits no self-loops (b > a
+      // and m <= a < b), small-star's min-aggregation is duplicate- and
+      // orientation-insensitive, and the duplicate rate across source
+      // vertices is small — skipping the dedup exchange removes one
+      // shuffle stage per round, which on near-converged graphs IS the
+      // round's cost
+      val e1 = withMin(nb1)
         .filter(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v"))
-      // large-star output is NOT persisted separately: both half-steps
-      // chain into one plan, so each round costs ONE job (the signature
-      // action) instead of three — on graphs far below the partition
-      // count the per-job fixed cost dominates the actual shuffle work
-      val e1 = canon(large)
 
       // small-star, single pass: each (a, b, m) row yields (b, m) when
       // b <= a, and every row carries (a, m) — one explode instead of
@@ -141,13 +163,30 @@ object ConnectedComponents {
           .otherwise(array(
             struct(col("a").as("u"), col("m").as("v"))))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
-      val e2 = persist(canon(small), iter)
+      canon(small)
+    }
+
+    var sig = sig0
+    var converged = false
+    var iter = 0
+    val cadence = math.max(1, checkEvery)
+    while (!converged && iter < maxIter) {
+      val jobT0 = System.nanoTime()
+      var cur = e
+      var k = 0
+      while (k < cadence && iter + k < maxIter) {
+        cur = oneRound(cur)
+        k += 1
+      }
+      iter += k
+      val e2 = persist(cur, iter)
 
       val newSig = signature(e2)
       converged = newSig == sig
       sig = newSig
       e = e2
-      iter += 1
+      if (debug) System.err.println(
+        f"[cc] rounds $iter%d (+$k%d): edges=${newSig._1}%d wall=${(System.nanoTime() - jobT0) / 1e9}%.2fs converged=$converged%b")
     }
 
     // At convergence every component is a star rooted at its min id:
