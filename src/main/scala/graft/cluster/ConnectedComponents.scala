@@ -73,16 +73,23 @@ object ConnectedComponents {
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct()
 
-    // All vertices (kept so isolated self-loop-only vertices still get a
-    // component id).
-    val vertices = edges
-      .select(col(srcCol).as("id")).union(edges.select(col(dstCol).as("id")))
+    // The raw 2-column edge projection is checkpointed ONCE and both the
+    // working edge set and the vertex list derive from it — `edges` may
+    // carry an arbitrarily expensive upstream plan (in the bench it is a
+    // full salted block-join match), and deriving vertices from the raw
+    // frame directly would recompute that whole plan again for the final
+    // vertex join. Lazy: the signature() action below materializes the
+    // chain in one job.
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .localCheckpoint(false)
+
+    // All vertices (from `raw`, not the canon'd set, so isolated
+    // self-loop-only vertices still get a component id).
+    val vertices = raw
+      .select(col("u").as("id")).union(raw.select(col("v").as("id")))
       .distinct()
 
-    // lazy localCheckpoint: the signature() action right below
-    // materializes it — no separate job just to persist
-    var e = canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
-      .localCheckpoint(false)
+    var e = canon(raw).localCheckpoint(false)
 
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(
