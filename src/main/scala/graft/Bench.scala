@@ -218,14 +218,18 @@ object Bench {
     * Normalized sides cached for the same multi-reference reason as
     * [[transcriptMatch]]; `consume` lets clusters_cc chain CC over the
     * match output before the sides are unpersisted. */
+  /** The exact config the suite's addr queries run — shared with
+    * CcDebug so the diagnostic can never drift from the shipped job. */
+  private[graft] val addrSaltedCfg = MatchConfig(
+    scorer = "lev_ratio", threshold = 75, topk = 3,
+    blockBy = "digits+prefix6", wDigits = 0.15, wGeo = 0.05,
+    geoMaxKm = 1.5, saltBuckets = 8)
+
   private def addrMatchSalted(s: SparkSession, dir: String,
       consume: DataFrame => Long = _.count()): Long = {
     val lhs = SparkEntry.addrNorm(AddressFixture.left(s, dir)).cache()
     val rhs = SparkEntry.addrNorm(AddressFixture.rightAll(s, dir)).cache()
-    try consume(Matcher.matchPairs(lhs, rhs,
-      MatchConfig(scorer = "lev_ratio", threshold = 75, topk = 3,
-        blockBy = "digits+prefix6", wDigits = 0.15, wGeo = 0.05,
-        geoMaxKm = 1.5, saltBuckets = 8),
+    try consume(Matcher.matchPairs(lhs, rhs, addrSaltedCfg,
       idCol = "id", textCol = "address_norm", hasGeo = true))
     finally { lhs.unpersist(); rhs.unpersist() }
   }
@@ -618,7 +622,10 @@ object Bench {
     // Per-query budget guard: keep enough runway for throughput (~180s)
     // + scaling (~420s) + emit margin.
     withSession(cpus) { s =>
-      if (remainingSec > 700) {
+      // gate well above the 660 s per-query guard: the warmup is an
+      // unbounded real job (~15 s clean, 45-90 s on documented slow-host
+      // windows) and must never eat the runway the suite itself needs
+      if (remainingSec > 960) {
         val (_, wsec) = time(try warmupSuite(s, dir) catch { case _: Exception => () })
         progress(f"warmup (untimed): $wsec%.1fs")
       }

@@ -2,7 +2,7 @@ package graft
 
 import graft.cluster.ConnectedComponents
 import graft.fixtures.AddressFixture
-import graft.matching.{MatchConfig, Matcher}
+import graft.matching.Matcher
 import org.apache.spark.sql.SparkSession
 
 /** Scratch diagnostics for clusters_cc tuning (not part of the driver
@@ -14,15 +14,18 @@ object CcDebug {
     val s = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 256)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // mirror Bench.session: shuffled-hash for the exploding block
+      // join, or the diagnostic times a sort-merge plan the suite
+      // never runs
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val matches = Matcher.matchPairs(
       SparkEntry.addrNorm(AddressFixture.left(s, dir)),
       SparkEntry.addrNorm(AddressFixture.rightAll(s, dir)),
-      MatchConfig(scorer = "lev_ratio", threshold = 75, topk = 3,
-        blockBy = "digits+prefix6", wDigits = 0.15, wGeo = 0.05,
-        geoMaxKm = 1.5, saltBuckets = 8),
+      Bench.addrSaltedCfg,
       idCol = "id", textCol = "address_norm", hasGeo = true).cache()
     val t0 = System.nanoTime()
     val m = matches.count()

@@ -53,9 +53,11 @@ object ConnectedComponents {
     *        cost is shuffle-stage latency, which chaining keeps), so
     *        the default stays 1; raise it on a real cluster where the
     *        driver round-trip + job-submission barrier per signature
-    *        check is the cost you want amortized. The worst case
-    *        computes `checkEvery-1` extra no-op rounds, which chain
-    *        into the job that detects convergence.
+    *        check is the cost you want amortized. Worst case it
+    *        computes up to `2*checkEvery-1` extra no-op rounds: a
+    *        fixed point reached just after a check still changed the
+    *        signature mid-chain, so a full additional no-op chain runs
+    *        before equality is detected.
     * @return (id, component) — every vertex mapped to the minimum vertex
     *         id of its connected component
     */
@@ -73,13 +75,28 @@ object ConnectedComponents {
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct()
 
+    // Superseded round checkpoints are unpersisted as the loop advances
+    // (below) — without this a long run pins every round's edge set in
+    // executor storage. The Dataset API exposes no handle on the RDD a
+    // lazy localCheckpoint registers, so each checkpoint's ids are
+    // captured by diffing the context's persistent-RDD registry around
+    // its creation (registration is at creation time, materialization
+    // stays lazy).
+    val sc = spark.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def unpersistIds(ids: Set[Int]): Unit = {
+      val reg = sc.getPersistentRDDs
+      ids.foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
+    }
+
     // The raw 2-column edge projection is checkpointed ONCE and both the
     // working edge set and the vertex list derive from it — `edges` may
     // carry an arbitrarily expensive upstream plan (in the bench it is a
     // full salted block-join match), and deriving vertices from the raw
     // frame directly would recompute that whole plan again for the final
     // vertex join. Lazy: the signature() action below materializes the
-    // chain in one job.
+    // chain in one job. Kept persisted until the caller consumes the
+    // returned frame (the final vertex join reads it).
     val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .localCheckpoint(false)
 
@@ -89,7 +106,11 @@ object ConnectedComponents {
       .select(col("u").as("id")).union(raw.select(col("v").as("id")))
       .distinct()
 
+    val beforeE0 = persistedIds
     var e = canon(raw).localCheckpoint(false)
+    // ids backing the CURRENT round's checkpoint — freed once the next
+    // round is materialized and lineage-truncated past it
+    var eIds = persistedIds -- beforeE0
 
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(
@@ -179,18 +200,31 @@ object ConnectedComponents {
     val cadence = math.max(1, checkEvery)
     while (!converged && iter < maxIter) {
       val jobT0 = System.nanoTime()
+      val before = persistedIds
       var cur = e
       var k = 0
       while (k < cadence && iter + k < maxIter) {
         cur = oneRound(cur)
         k += 1
+        // bound the plan between chained rounds: oneRound references its
+        // input ~16× (two neighbors() unions, withMin's agg+self-join,
+        // per half-step), so k unchecked rounds build a 16^k-node plan —
+        // a LAZY localCheckpoint cuts the Catalyst tree at each round
+        // while the whole chain still materializes in the ONE job the
+        // signature() action below runs (the RDD DAG stays chained)
+        if (k < cadence && iter + k < maxIter) cur = cur.localCheckpoint(false)
       }
       iter += k
       val e2 = persist(cur, iter)
+      val newIds = persistedIds -- before
 
       val newSig = signature(e2)
+      // signature() materialized e2's checkpoint, truncating its lineage
+      // past the previous round — free the superseded round's blocks
       converged = newSig == sig
       sig = newSig
+      unpersistIds(eIds)
+      eIds = newIds
       e = e2
       if (debug) System.err.println(
         f"[cc] rounds $iter%d (+$k%d): edges=${newSig._1}%d wall=${(System.nanoTime() - jobT0) / 1e9}%.2fs converged=$converged%b")

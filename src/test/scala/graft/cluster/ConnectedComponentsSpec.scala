@@ -18,12 +18,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     (0 until n).map(i => i -> find(i)).toMap
   }
 
-  private def ccSpark(edges: Seq[(Int, Int)]): Map[String, String] = {
+  /** run() frees superseded rounds itself, but the raw projection and
+    * final round stay pinned for the returned frame — drop them after
+    * each collect so dozens of property runs don't accumulate blocks
+    * in the shared test session (suites run sequentially, so a blanket
+    * unpersist is safe; anything else cached just recomputes). */
+  private def dropPersisted(): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
+  private def ccSpark(edges: Seq[(Int, Int)], checkEvery: Int = 1): Map[String, String] = {
     import spark.implicits._
     val df = edges.toDF("src", "dst")
       .selectExpr("CAST(src AS STRING) AS src", "CAST(dst AS STRING) AS dst")
-    ConnectedComponents.run(df)
+    try ConnectedComponents.run(df, checkEvery = checkEvery)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    finally dropPersisted()
   }
 
   test("property: large-star/small-star equals union-find on random graphs") {
@@ -62,6 +71,45 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert((0 to 9).forall(i => out(s"v$i") == "v0"))
     assert((21 to 25).forall(i => out(s"v$i") == "v20") && out("v20") == "v20")
     assert(out("v30") == "v30") // self-loop-only vertex keeps own id
+  }
+
+  test("checkEvery > 1: chained rounds converge to the same partition") {
+    import spark.implicits._
+    // diameter-10 chain needs several rounds; cadence 2 exercises
+    // mid-chain fixed points, cadence 5 a chain longer than the whole
+    // convergence (pure no-op tail)
+    val edges = (0 until 9).map(i => (s"v${i}", s"v${i + 1}")) ++
+      (21 to 25).map(i => (s"v20", s"v$i")) :+ (("v30", "v30"))
+    def run(k: Int): Map[String, String] = {
+      val out = ConnectedComponents.run(edges.toDF("src", "dst"), checkEvery = k)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      dropPersisted(); out
+    }
+    val base = run(1)
+    for (k <- Seq(2, 5)) assert(run(k) == base, s"checkEvery=$k diverged")
+  }
+
+  test("property: checkEvery=3 equals union-find on random graphs") {
+    val gen = for {
+      n <- Gen.chooseNum(2, 30)
+      m <- Gen.chooseNum(1, 45)
+      es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+    } yield (n, es)
+    val prop = Prop.forAllNoShrink(gen) { case (n, es) =>
+      val edges = es.filter { case (a, b) => a != b }
+      if (edges.isEmpty) true
+      else {
+        val uf = unionFind(edges, n)
+        val got = ccSpark(edges, checkEvery = 3)
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val gotParts = verts.groupBy(v => got(v.toString)).values.map(_.toSet).toSet
+        val ufParts = verts.groupBy(uf).values.map(_.toSet).toSet
+        gotParts == ufParts
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("reliable checkpoint: same result, and a re-run resumes from snapshots") {
