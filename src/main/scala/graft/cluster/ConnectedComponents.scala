@@ -77,17 +77,8 @@ object ConnectedComponents {
 
     // Superseded round checkpoints are unpersisted as the loop advances
     // (below) — without this a long run pins every round's edge set in
-    // executor storage. The Dataset API exposes no handle on the RDD a
-    // lazy localCheckpoint registers, so each checkpoint's ids are
-    // captured by diffing the context's persistent-RDD registry around
-    // its creation (registration is at creation time, materialization
-    // stays lazy).
-    val sc = spark.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def unpersistIds(ids: Set[Int]): Unit = {
-      val reg = sc.getPersistentRDDs
-      ids.foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
-    }
+    // executor storage. See [[graft.util.CheckpointHygiene]].
+    val hygiene = new graft.util.CheckpointHygiene(spark.sparkContext)
 
     // The raw 2-column edge projection is checkpointed ONCE and both the
     // working edge set and the vertex list derive from it — `edges` may
@@ -106,11 +97,7 @@ object ConnectedComponents {
       .select(col("u").as("id")).union(raw.select(col("v").as("id")))
       .distinct()
 
-    val beforeE0 = persistedIds
-    var e = canon(raw).localCheckpoint(false)
-    // ids backing the CURRENT round's checkpoint — freed once the next
-    // round is materialized and lineage-truncated past it
-    var eIds = persistedIds -- beforeE0
+    var e = hygiene.rotate(canon(raw).localCheckpoint(false))
 
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(
@@ -200,34 +187,35 @@ object ConnectedComponents {
     val cadence = math.max(1, checkEvery)
     while (!converged && iter < maxIter) {
       val jobT0 = System.nanoTime()
-      val before = persistedIds
-      var cur = e
-      var k = 0
-      while (k < cadence && iter + k < maxIter) {
-        cur = oneRound(cur)
-        k += 1
-        // bound the plan between chained rounds: oneRound references its
-        // input ~16× (two neighbors() unions, withMin's agg+self-join,
-        // per half-step), so k unchecked rounds build a 16^k-node plan —
-        // a LAZY localCheckpoint cuts the Catalyst tree at each round
-        // while the whole chain still materializes in the ONE job the
-        // signature() action below runs (the RDD DAG stays chained)
-        if (k < cadence && iter + k < maxIter) cur = cur.localCheckpoint(false)
+      val iterBefore = iter
+      val e2 = hygiene.track {
+        var cur = e
+        var k0 = 0
+        while (k0 < cadence && iter + k0 < maxIter) {
+          cur = oneRound(cur)
+          k0 += 1
+          // bound the plan between chained rounds: oneRound references
+          // its input ~16× (two neighbors() unions, withMin's
+          // agg+self-join, per half-step), so k unchecked rounds build a
+          // 16^k-node plan — a LAZY localCheckpoint cuts the Catalyst
+          // tree at each round while the whole chain still materializes
+          // in the ONE job the signature() action below runs (the RDD
+          // DAG stays chained)
+          if (k0 < cadence && iter + k0 < maxIter) cur = cur.localCheckpoint(false)
+        }
+        iter += k0
+        persist(cur, iter)
       }
-      iter += k
-      val e2 = persist(cur, iter)
-      val newIds = persistedIds -- before
 
       val newSig = signature(e2)
       // signature() materialized e2's checkpoint, truncating its lineage
       // past the previous round — free the superseded round's blocks
       converged = newSig == sig
       sig = newSig
-      unpersistIds(eIds)
-      eIds = newIds
+      hygiene.freePrev()
       e = e2
       if (debug) System.err.println(
-        f"[cc] rounds $iter%d (+$k%d): edges=${newSig._1}%d wall=${(System.nanoTime() - jobT0) / 1e9}%.2fs converged=$converged%b")
+        f"[cc] rounds $iter%d (+${iter - iterBefore}%d): edges=${newSig._1}%d wall=${(System.nanoTime() - jobT0) / 1e9}%.2fs converged=$converged%b")
     }
 
     // At convergence every component is a star rooted at its min id:

@@ -224,8 +224,14 @@ object SoftmaxRegression {
     val yPart = feats.join(labels, "id")
       .groupBy("label", "term").agg(sum(col("weight")).as("xy"))
       .localCheckpoint()
-    var weights = yPart.select(col("label"), col("term"), lit(0.0).as("w"))
-      .localCheckpoint()
+    // each epoch's weights are an EAGER localCheckpoint; the superseded
+    // epoch is freed immediately, or an E-epoch run pins E copies of
+    // the full weight matrix in executor storage (at the 10k-class
+    // scale the matrix, not the data, is the footprint)
+    val hygiene = new graft.util.CheckpointHygiene(feats.sparkSession.sparkContext)
+    var weights = hygiene.rotate(
+      yPart.select(col("label"), col("term"), lit(0.0).as("w"))
+        .localCheckpoint())
     var epoch = 0
     while (epoch < epochs) {
       // per-epoch class subset (sampled softmax) or the full model
@@ -264,10 +270,12 @@ object SoftmaxRegression {
             lit(lambda) * col("w")).as("g"))
       // left join + coalesce(g, 0): classes outside this epoch's sample
       // keep their weights untouched
-      weights = weights.join(grad, Seq("label", "term"), "left")
+      val next = weights.join(grad, Seq("label", "term"), "left")
         .select(col("label"), col("term"),
           (col("w") - lit(lr / nDocs) * coalesce(col("g"), lit(0.0))).as("w"))
-        .localCheckpoint()
+      // eager checkpoint materializes `next` before rotate frees the
+      // epoch it was computed from
+      weights = hygiene.rotate(next.localCheckpoint())
       epoch += 1
     }
     weights
