@@ -86,10 +86,10 @@ object Bench {
   private def buildJson(): String = state.synchronized {
     val qs = state.queries
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    // failed queries keep their -1 sentinel in "queries" but are NOT
-    // summed into the headline total (they'd silently understate it);
-    // a run where NOTHING completed reports the sentinel, not a
-    // best-possible-looking 0.000
+    // failed (-1) and budget-skipped (-2) queries keep their sentinel
+    // in "queries" but are NOT summed into the headline total (they'd
+    // silently understate it); a run where NOTHING completed reports
+    // the sentinel, not a best-possible-looking 0.000
     val completed = state.queries.values.filter(_ >= 0.0)
     val total = if (completed.nonEmpty) completed.sum else -1.0
     val sb = new StringBuilder
@@ -125,14 +125,55 @@ object Bench {
 
   private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** The scaling child JVM currently in flight, if any: halt() skips
+    * the normal post-waitFor destroyForcibly, so the watchdog must
+    * kill it here or a hung local[16] child outlives the bench and
+    * burns host CPU against whatever runs next. */
+  @volatile private var liveChild: Option[Process] = None
+
+  /** Temp artifacts (child-leg stdout files, scaling corpus dirs) to
+    * delete before halt: deleteOnExit relies on shutdown hooks, which
+    * halt() bypasses by design. */
+  private val tempPaths = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      java.nio.file.Files.deleteIfExists(p)
+    } catch { case _: Exception => () }
+
+  private def cleanupTemp(): Unit =
+    tempPaths.synchronized { tempPaths.foreach(deleteRecursively) }
+
+  /** Best-effort sweep of artifacts a PREVIOUS halt()ed run left in the
+    * tmp dir (one bench runs at a time in this environment). */
+  private def sweepStaleTemp(): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      java.nio.file.Files.list(tmp).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("graft-scaling") || (n.startsWith("graft-leg") && n.endsWith(".out"))
+        }
+        .foreach(deleteRecursively)
+    } catch { case _: Exception => () }
+
   /** Print the result line exactly once, flush, and halt: shutdown
     * hooks (Hadoop's manager) hang on multi-session teardown in this
-    * environment — the output is already on stdout, so bypass them. */
+    * environment — the output is already on stdout, so bypass them.
+    * Before halting, kill any in-flight scaling child and delete the
+    * run's temp artifacts (both normally handled after waitFor /
+    * by deleteOnExit, which halt skips). */
   private def emitAndHalt(): Unit =
     if (emitted.compareAndSet(false, true)) {
       println(buildJson())
       System.out.flush()
       Console.flush()
+      liveChild.foreach { p => try p.destroyForcibly() catch { case _: Exception => () } }
+      cleanupTemp()
       Runtime.getRuntime.halt(0)
     }
 
@@ -154,7 +195,9 @@ object Bench {
 
   // -- spark plumbing ------------------------------------------------------
 
-  private def session(cores: Int): SparkSession = {
+  /** private[graft]: the debug mains (CcDebug, TsrDebug) reuse this so
+    * their diagnostics time the exact session config the suite runs. */
+  private[graft] def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
@@ -414,7 +457,7 @@ object Bench {
       val cmd = (Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
       val outFile = java.nio.file.Files.createTempFile("graft-leg", ".out").toFile
-      outFile.deleteOnExit()
+      tempPaths.synchronized { tempPaths += outFile.toPath }
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_MEASURE_CORES", cores.toString)
       pb.environment().put("SPARK_GRAFT_MEASURE_RUNS", runs.toString)
@@ -423,7 +466,10 @@ object Bench {
       pb.redirectOutput(ProcessBuilder.Redirect.to(outFile))
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
-      val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      liveChild = Some(proc)
+      val finished =
+        try proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+        finally liveChild = None
       if (!finished) {
         proc.destroyForcibly()
         proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
@@ -485,6 +531,7 @@ object Bench {
       return
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaling")
+    tempPaths.synchronized { tempPaths += tmp }
     var r = replicaR(16)
     var corpusPath = ""
     var hotPath = ""
@@ -615,6 +662,7 @@ object Bench {
     }
 
     startWatchdog()
+    sweepStaleTemp()
     progress(s"start: budget=${budgetSec.toLong}s dir=$dir cpus=$cpus scaling=$scaling")
 
     // fast path for iterating on the scaling measurement alone
@@ -637,7 +685,12 @@ object Bench {
       progress("suite start")
       queriesFor(s, dir).foreach { case (name, job) =>
         if (remainingSec < 660) {
+          // -2 = skipped-for-budget sentinel: like failures (-1), the
+          // query stays VISIBLE in "queries" and excluded from the
+          // total — omitting it would make a truncated run parse as a
+          // strictly better total than a complete one
           state.synchronized {
+            state.queries(name) = -2.0
             if (!state.notes.contains("suite_truncated_budget"))
               state.notes += "suite_truncated_budget"
           }

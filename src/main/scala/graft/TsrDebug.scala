@@ -1,7 +1,7 @@
 package graft
 
 import graft.matching.{MatchConfig, Matcher}
-import org.apache.spark.sql.SparkSession
+
 import org.apache.spark.sql.functions._
 
 /** Scratch diagnostics for the flagship suite query (not part of the
@@ -11,16 +11,10 @@ import org.apache.spark.sql.functions._
 object TsrDebug {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val s = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 256)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // mirror Bench.session: shuffled-hash for the exploding block
-      // join, or the diagnostic times a sort-merge plan the suite
-      // never runs
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the bench's own session factory: the diagnostic must time the
+    // exact session config (join strategy, AQE, partitions) the suite
+    // runs, or its stage split explains a different plan
+    val s = Bench.session(32)
     s.sparkContext.setLogLevel("WARN")
     def t[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime()

@@ -78,7 +78,7 @@ object ConnectedComponents {
     // Superseded round checkpoints are unpersisted as the loop advances
     // (below) — without this a long run pins every round's edge set in
     // executor storage. See [[graft.util.CheckpointHygiene]].
-    val hygiene = new graft.util.CheckpointHygiene(spark.sparkContext)
+    val hygiene = new graft.util.CheckpointHygiene
 
     // The raw 2-column edge projection is checkpointed ONCE and both the
     // working edge set and the vertex list derive from it — `edges` may
@@ -86,8 +86,8 @@ object ConnectedComponents {
     // full salted block-join match), and deriving vertices from the raw
     // frame directly would recompute that whole plan again for the final
     // vertex join. Lazy: the signature() action below materializes the
-    // chain in one job. Kept persisted until the caller consumes the
-    // returned frame (the final vertex join reads it).
+    // chain in one job. Released before run() returns — the eager final
+    // checkpoint at the bottom is the last reader.
     val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .localCheckpoint(false)
 
@@ -97,7 +97,8 @@ object ConnectedComponents {
       .select(col("u").as("id")).union(raw.select(col("v").as("id")))
       .distinct()
 
-    var e = hygiene.rotate(canon(raw).localCheckpoint(false))
+    var e = hygiene.add(canon(raw).localCheckpoint(false))
+    hygiene.advance()
 
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(
@@ -188,31 +189,30 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       val jobT0 = System.nanoTime()
       val iterBefore = iter
-      val e2 = hygiene.track {
-        var cur = e
-        var k0 = 0
-        while (k0 < cadence && iter + k0 < maxIter) {
-          cur = oneRound(cur)
-          k0 += 1
-          // bound the plan between chained rounds: oneRound references
-          // its input ~16× (two neighbors() unions, withMin's
-          // agg+self-join, per half-step), so k unchecked rounds build a
-          // 16^k-node plan — a LAZY localCheckpoint cuts the Catalyst
-          // tree at each round while the whole chain still materializes
-          // in the ONE job the signature() action below runs (the RDD
-          // DAG stays chained)
-          if (k0 < cadence && iter + k0 < maxIter) cur = cur.localCheckpoint(false)
-        }
-        iter += k0
-        persist(cur, iter)
+      var cur = e
+      var k0 = 0
+      while (k0 < cadence && iter + k0 < maxIter) {
+        cur = oneRound(cur)
+        k0 += 1
+        // bound the plan between chained rounds: oneRound references
+        // its input ~16× (two neighbors() unions, withMin's
+        // agg+self-join, per half-step), so k unchecked rounds build a
+        // 16^k-node plan — a LAZY localCheckpoint cuts the Catalyst
+        // tree at each round while the whole chain still materializes
+        // in the ONE job the signature() action below runs (the RDD
+        // DAG stays chained)
+        if (k0 < cadence && iter + k0 < maxIter)
+          cur = hygiene.add(cur.localCheckpoint(false))
       }
+      iter += k0
+      val e2 = hygiene.add(persist(cur, iter))
 
       val newSig = signature(e2)
       // signature() materialized e2's checkpoint, truncating its lineage
       // past the previous round — free the superseded round's blocks
       converged = newSig == sig
       sig = newSig
-      hygiene.freePrev()
+      hygiene.advance()
       e = e2
       if (debug) System.err.println(
         f"[cc] rounds $iter%d (+${iter - iterBefore}%d): edges=${newSig._1}%d wall=${(System.nanoTime() - jobT0) / 1e9}%.2fs converged=$converged%b")
@@ -223,7 +223,17 @@ object ConnectedComponents {
     val assign = neighbors(e).groupBy("a")
       .agg(min(col("b")).as("minb"))
       .select(col("a").as("id"), least(col("a"), col("minb")).as("component"))
-    vertices.join(assign, Seq("id"), "left")
+    // EAGER final checkpoint: materializing the vertex join here lets
+    // run() release every upstream block before returning — the raw
+    // edge projection and the last round's edge set (both edge-sized)
+    // would otherwise stay pinned for the session. Callers hold only
+    // the vertex-sized result; free it with CheckpointHygiene.free
+    // once consumed.
+    val result = vertices.join(assign, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint(true)
+    graft.util.CheckpointHygiene.free(raw)
+    hygiene.releaseAll()
+    result
   }
 }

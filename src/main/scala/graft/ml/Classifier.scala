@@ -228,10 +228,11 @@ object SoftmaxRegression {
     // epoch is freed immediately, or an E-epoch run pins E copies of
     // the full weight matrix in executor storage (at the 10k-class
     // scale the matrix, not the data, is the footprint)
-    val hygiene = new graft.util.CheckpointHygiene(feats.sparkSession.sparkContext)
-    var weights = hygiene.rotate(
+    val hygiene = new graft.util.CheckpointHygiene
+    var weights = hygiene.add(
       yPart.select(col("label"), col("term"), lit(0.0).as("w"))
         .localCheckpoint())
+    hygiene.advance()
     var epoch = 0
     while (epoch < epochs) {
       // per-epoch class subset (sampled softmax) or the full model
@@ -273,11 +274,17 @@ object SoftmaxRegression {
       val next = weights.join(grad, Seq("label", "term"), "left")
         .select(col("label"), col("term"),
           (col("w") - lit(lr / nDocs) * coalesce(col("g"), lit(0.0))).as("w"))
-      // eager checkpoint materializes `next` before rotate frees the
+      // eager checkpoint materializes `next` before advance() frees the
       // epoch it was computed from
-      weights = hygiene.rotate(next.localCheckpoint())
+      weights = hygiene.add(next.localCheckpoint())
+      hygiene.advance()
       epoch += 1
     }
+    // training-internal checkpoints are done with; the returned weights
+    // frame stays persisted (free it with CheckpointHygiene.free once
+    // consumed)
+    graft.util.CheckpointHygiene.free(classes)
+    graft.util.CheckpointHygiene.free(yPart)
     weights
   }
 

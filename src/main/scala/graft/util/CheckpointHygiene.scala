@@ -1,50 +1,69 @@
 package graft.util
 
-import org.apache.spark.SparkContext
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Bookkeeping for iterative jobs that localCheckpoint a frame per
-  * round: the Dataset API exposes no handle on the RDD a checkpoint
-  * registers, so superseded rounds are freed by diffing the context's
-  * persistent-RDD registry around each checkpoint's creation
-  * (registration happens at creation time even for lazy checkpoints;
-  * materialization stays lazy). Without this a k-round loop pins k
-  * copies of its working set in executor storage. */
-final class CheckpointHygiene(sc: SparkContext) {
-  private var current: Set[Int] = Set.empty
+  * round: a localCheckpoint pins its blocks until session end and the
+  * Dataset API offers no release handle, so without this a k-round
+  * loop pins k copies of its working set in executor storage.
+  *
+  * The backing RDD is reachable through the checkpointed frame's
+  * [[LogicalRDD]] leaf, so rounds are freed PRECISELY — attributing by
+  * diffing the context's global persistent-RDD registry would capture
+  * (and later force-unpersist) RDDs registered concurrently by other
+  * jobs on the same session, whose localCheckpoint blocks are
+  * unrecoverable once dropped. */
+object CheckpointHygiene {
 
-  private def ids: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+  /** The RDDs backing a (local)checkpointed frame: the [[LogicalRDD]]
+    * leaves of its logical plan. One element for a checkpoint output;
+    * empty for frames that are not checkpoint-backed (e.g. a
+    * parquet-backed snapshot restore) — making [[free]] a safe no-op
+    * on them. */
+  def backingRdds(df: DataFrame): Seq[RDD[_]] =
+    df.queryExecution.logical.collect { case l: LogicalRDD => l.rdd }
 
-  /** Run `create` (which must register exactly the new round's
-    * checkpoint), record its RDD ids as the current round, and free the
-    * previous round's. Call only once the new checkpoint is — or is
-    * about to be — materialized past the old one (eager checkpoints:
-    * immediately; lazy: after the action that materializes it). */
-  def rotate[A](create: => A): A = {
-    val before = ids
-    val out = create
-    val created = ids -- before
-    free()
-    current = created
-    out
+  /** Release a checkpointed frame's blocks. Only call once nothing
+    * will read the frame again — local checkpoints cannot be
+    * recomputed. */
+  def free(df: DataFrame): Unit =
+    backingRdds(df).foreach(_.unpersist(blocking = false))
+}
+
+/** Tracks the checkpoints of one iterative loop in two generations:
+  * [[add]] registers frames checkpointed for the round being built;
+  * [[advance]] — called once the new round is materialized and its
+  * lineage truncated past the old one — frees the previous round. */
+final class CheckpointHygiene {
+  import CheckpointHygiene._
+
+  private var current: List[RDD[_]] = Nil
+  private var next: List[RDD[_]] = Nil
+
+  /** Register a frame checkpointed for the round being built and
+    * return it. */
+  def add(df: DataFrame): DataFrame = {
+    next = backingRdds(df).toList ::: next
+    df
   }
 
-  /** Like rotate, but defer freeing the previous round until [[freePrev]]
-    * — for LAZY checkpoints whose materializing action runs after
-    * creation. */
-  def track[A](create: => A): A = {
-    val before = ids
-    val out = create
-    pending = ids -- before
-    out
+  /** The new round is materialized: free the previous round's blocks
+    * and promote the registrations since the last advance. */
+  def advance(): Unit = {
+    current.foreach(_.unpersist(blocking = false))
+    current = next
+    next = Nil
   }
-  private var pending: Set[Int] = Set.empty
 
-  /** Free the superseded round recorded before the last [[track]] and
-    * promote the tracked ids to current. */
-  def freePrev(): Unit = { free(); current = pending; pending = Set.empty }
-
-  private def free(): Unit = {
-    val reg = sc.getPersistentRDDs
-    current.foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
+  /** Free everything still tracked — the last promoted round and any
+    * unadvanced registrations. Do NOT call while a tracked frame can
+    * still be read (e.g. when the loop's final round is the returned
+    * result). */
+  def releaseAll(): Unit = {
+    (current ::: next).foreach(_.unpersist(blocking = false))
+    current = Nil
+    next = Nil
   }
 }

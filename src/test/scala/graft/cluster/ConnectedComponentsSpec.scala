@@ -18,11 +18,11 @@ class ConnectedComponentsSpec extends SparkSpec {
     (0 until n).map(i => i -> find(i)).toMap
   }
 
-  /** run() frees superseded rounds itself, but the raw projection and
-    * final round stay pinned for the returned frame — drop them after
-    * each collect so dozens of property runs don't accumulate blocks
-    * in the shared test session (suites run sequentially, so a blanket
-    * unpersist is safe; anything else cached just recomputes). */
+  /** run() frees its own intermediates; only the vertex-sized result
+    * checkpoint survives it — drop that after each collect so dozens
+    * of property runs don't accumulate blocks in the shared test
+    * session (suites run sequentially, so a blanket unpersist is safe;
+    * anything else cached just recomputes). */
   private def dropPersisted(): Unit =
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 
