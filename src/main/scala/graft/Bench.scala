@@ -148,17 +148,31 @@ object Bench {
     tempPaths.synchronized { tempPaths.foreach(deleteRecursively) }
 
   /** Best-effort sweep of artifacts a PREVIOUS halt()ed run left in the
-    * tmp dir (one bench runs at a time in this environment). */
+    * tmp dir (one bench runs at a time in this environment): our own
+    * temp names unconditionally, plus Spark's `blockmgr-*` / `spark-*`
+    * scratch dirs — halt(0) skips Spark's disk-cleanup shutdown hooks
+    * too, and parent+child JVMs leak GBs of shuffle scratch per run.
+    * Spark dirs are only removed when STALE (> 1 h old) so a
+    * concurrently-running Spark app's live scratch is never touched. */
   private def sweepStaleTemp(): Unit =
     try {
       import scala.jdk.CollectionConverters._
       val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      java.nio.file.Files.list(tmp).iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("graft-scaling") || (n.startsWith("graft-leg") && n.endsWith(".out"))
-        }
-        .foreach(deleteRecursively)
+      val staleMs = System.currentTimeMillis() - 3600L * 1000
+      def sweep(dir: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.isDirectory(dir))
+          java.nio.file.Files.list(dir).iterator().asScala.foreach { p =>
+            val n = p.getFileName.toString
+            val ours = n.startsWith("graft-scaling") ||
+              (n.startsWith("graft-leg") && n.endsWith(".out"))
+            val sparkScratch = (n.startsWith("blockmgr-") || n.startsWith("spark-")) &&
+              n != "spark-local" &&
+              (try java.nio.file.Files.getLastModifiedTime(p).toMillis < staleMs
+               catch { case _: Exception => false })
+            if (ours || sparkScratch) deleteRecursively(p)
+          }
+      sweep(tmp)
+      sweep(tmp.resolve("spark-local")) // configured spark.local.dir layout
     } catch { case _: Exception => () }
 
   /** Print the result line exactly once, flush, and halt: shutdown
