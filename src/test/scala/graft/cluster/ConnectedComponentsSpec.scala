@@ -112,6 +112,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("run() releases everything but the vertex-sized result checkpoint") {
+    import spark.implicits._
+    dropPersisted() // start clean in the shared session
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val edges = (0 until 9).map(i => (s"v${i}", s"v${i + 1}")).toDF("src", "dst")
+    val out = ConnectedComponents.run(edges)
+    assert(out.count() == 10)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    val resultIds = graft.util.CheckpointHygiene.backingRdds(out).map(_.id).toSet
+    assert(resultIds.nonEmpty, "result must be checkpoint-backed")
+    assert(leaked == resultIds,
+      s"run() left extra persisted RDDs: ${leaked -- resultIds}")
+    dropPersisted()
+  }
+
   test("reliable checkpoint: same result, and a re-run resumes from snapshots") {
     import spark.implicits._
     val edges = ((0 until 9).map(i => (s"v${i}", s"v${i + 1}")) ++
