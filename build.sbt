@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNWRAPPED: the default logger
+// re-logs each child stdout line with an "[info] " prefix, which broke
+// machine-parsing of graft.Bench's single-line JSON contract (the
+// round-3 driver run captured `[info] {...}` and parsed nothing).
+// Bench keeps progress on stderr; stdout carries only the result line.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
