@@ -1,13 +1,24 @@
 package graft.ann
 
+import graft.similarity.VectorFunctions.dot_product
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`) — brute-force cosine top-k as the correctness
-  * baseline, random-hyperplane LSH bucketing as the scale path.
-  * Pure `zip_with`/`aggregate` Column math (codegen'd); no ml.linalg.
+  * baseline, random-hyperplane LSH bucketing and IVF as the scale
+  * paths.
+  *
+  * Hot-path discipline (the same slim-shuffle rule the matcher's
+  * heavyCols applies): per-ROW invariants are computed once before the
+  * join — the L2 norm of every vector — and per-PAIR work is exactly
+  * one codegen'd dot product ([[graft.similarity.DotProduct]]; Spark's
+  * `zip_with`/`aggregate` HOFs are interpreted and re-walking both
+  * arrays three times per pair made this the slowest query in the
+  * round-3 driver bench by 10×). cos = dot / (norm_a * norm_b) with
+  * the multiplication order fixed so results are bit-identical to the
+  * naive `cosine(a, b)` form the oracles mirror.
   *
   * Scale notes: brute force is a broadcast of the (small) query set
   * against the full corpus — one pass, no shuffle except the final
@@ -19,21 +30,33 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
-  /** Dot product over two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product over two double arrays (codegen'd, single pass). */
+  def dot(a: Column, b: Column): Column = dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null/zero-norm safe. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val na = norm(a)
-    val nb = norm(b)
-    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
-  }
+  /** Cosine similarity; null/zero-norm safe. Prefer
+    * [[cosineWithNorms]] on join outputs — this form recomputes both
+    * norms per evaluation. */
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, norm(a), norm(b))
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Cosine from precomputed norms: same expression tree shape as
+    * [[cosine]] (`dot / (na * nb)` with the zero-norm guard), so a
+    * plan that pre-projects `norm(v)` per row produces bit-identical
+    * scores while paying only the dot product per pair. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / (na * nb))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** (id, vec, norm) projection: the per-row invariants every ANN
+    * variant needs, paid once before any join. */
+  private def sideWithNorm(
+      df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, nrmAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
+      .withColumn(nrmAs, norm(col(vecAs)))
 
   /** Brute-force cosine top-k: every query row against the full corpus.
     * `queries` is expected to be small (broadcast). Output:
@@ -42,11 +65,12 @@ object SimilaritySearch {
   def bruteTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = sideWithNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cnrm")
+    val q = sideWithNorm(queries, idCol, vecCol, "query_id", "qv", "qnrm")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(
+        cosineWithNorms(col("qv"), col("cv"), col("qnrm"), col("cnrm")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -59,7 +83,8 @@ object SimilaritySearch {
     (conv(substring(md5(concat(lit(s"plane$plane:"), dim.cast("string"))), 1, 8), 16, 10)
       .cast("double") / lit(2147483648.0)) - 1.0
 
-  /** LSH bucket id: sign bits of `bits` hyperplane projections. */
+  /** LSH bucket id: sign bits of `bits` hyperplane projections.
+    * Interpreted HOFs, but evaluated once per ROW (never per pair). */
   def lshBucket(vec: Column, bits: Int): Column =
     Seq.tabulate(bits) { p =>
       val proj = aggregate(
@@ -84,11 +109,13 @@ object SimilaritySearch {
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cent = centroids.select(col(idCol).as("list_id"), asDouble(col(vecCol)).as("ce"))
+    val cent = sideWithNorm(centroids, idCol, vecCol, "list_id", "ce", "ce_nrm")
     def scoredCent(df: DataFrame, side: String): DataFrame =
-      df.select(col(idCol).as(s"${side}_id"), asDouble(col(vecCol)).as(s"${side}_v"))
+      sideWithNorm(df, idCol, vecCol, s"${side}_id", s"${side}_v", s"${side}_nrm")
         .crossJoin(broadcast(cent))
-        .withColumn("ccos", round(cosine(col(s"${side}_v"), col("ce")), 6))
+        .withColumn("ccos", round(
+          cosineWithNorms(col(s"${side}_v"), col("ce"),
+            col(s"${side}_nrm"), col("ce_nrm")), 6))
     // CORPUS assignment is a groupBy max-struct aggregation, not a
     // window: the partial max combines map-side, so the shuffle carries
     // one row per corpus vector instead of one per (vector, centroid) —
@@ -98,8 +125,10 @@ object SimilaritySearch {
     val lists = scoredCent(corpus, "neighbor")
       .groupBy("neighbor_id")
       .agg(max(struct(col("ccos"), col("list_id"))).as("m"),
-        first(col("neighbor_v")).as("neighbor_v"))
-      .select(col("neighbor_id"), col("neighbor_v"), col("m.list_id").as("list_id"))
+        first(col("neighbor_v")).as("neighbor_v"),
+        first(col("neighbor_nrm")).as("neighbor_nrm"))
+      .select(col("neighbor_id"), col("neighbor_v"), col("neighbor_nrm"),
+        col("m.list_id").as("list_id"))
     // QUERY probes keep the top-nProbe window (queries are the small
     // side by contract; smallest-list-id tie-break)
     val probes = {
@@ -108,11 +137,13 @@ object SimilaritySearch {
       scoredCent(queries, "query")
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") <= nProbe)
-        .select(col("query_id"), col("query_v"), col("list_id"))
+        .select(col("query_id"), col("query_v"), col("query_nrm"), col("list_id"))
     }
     val scored = lists.join(probes, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("query_v"), col("neighbor_v")), 6))
+      .withColumn("cos", round(
+        cosineWithNorms(col("query_v"), col("neighbor_v"),
+          col("query_nrm"), col("neighbor_nrm")), 6))
       // a (query, neighbor) pair can only meet once: corpus rows live in
       // exactly one list, so no distinct needed
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -126,13 +157,14 @@ object SimilaritySearch {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val c = sideWithNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cnrm")
       .withColumn("bucket", lshBucket(col("cv"), bits))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val q = sideWithNorm(queries, idCol, vecCol, "query_id", "qv", "qnrm")
       .withColumn("bucket", lshBucket(col("qv"), bits))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(
+        cosineWithNorms(col("qv"), col("cv"), col("qnrm"), col("cnrm")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

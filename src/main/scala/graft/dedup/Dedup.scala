@@ -228,13 +228,16 @@ object Dedup {
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       bits: Int = 4, threshold: Double = 0.4): DataFrame = {
-    import graft.ann.SimilaritySearch.{cosine, lshBucket}
-    val v = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("e"))
+    import graft.ann.SimilaritySearch.{cosineWithNorms, lshBucket, norm}
+    // per-ROW invariants (bucket, L2 norm) before the self-join; the
+    // per-PAIR cost is one codegen'd dot product (see SimilaritySearch)
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("e"))
       .withColumn("bucket", lshBucket(col("e"), bits))
+      .withColumn("nrm", norm(col("e")))
     v.as("a").join(v.as("b"), Seq("bucket"))
       .filter(col("a.id") < col("b.id"))
-      .withColumn("cos", round(cosine(col("a.e"), col("b.e")), 6))
+      .withColumn("cos", round(
+        cosineWithNorms(col("a.e"), col("b.e"), col("a.nrm"), col("b.nrm")), 6))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
