@@ -85,12 +85,16 @@ object TableIO {
     val tmp = dir.resolve(s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode("overwrite").parquet(tmp.toString)
 
-    // per-partition (per-file) metrics from the written parquet footers
+    // per-partition (per-file) metrics straight from the parquet FOOTERS
+    // (metadata-only, a few KB per file, read on a small driver-side
+    // thread pool). The previous form ran one whole Spark job per file —
+    // invisible here, but a 100-TB commit writes 10^4-10^5 files and
+    // that becomes 10^4-10^5 sequential jobs at every commit.
     val files = Files.list(tmp).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-    val perFile = files.map { f =>
-      val cnt = spark.read.parquet(f.toString).count()
-      (f.getFileName.toString, cnt, Files.size(f))
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val perFile = parallelMap(files) { f =>
+      (f.getFileName.toString, footerRowCount(f, hadoopConf), Files.size(f))
     }
     val rows = perFile.map(_._2).sum
 
@@ -112,6 +116,32 @@ object TableIO {
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
     Commit(table, next, rows, dst.toString)
   }
+
+  /** Row count from a parquet file's footer (sum of row-group counts) —
+    * no Spark job, no data pages read. */
+  private def footerRowCount(
+      p: Path, conf: org.apache.hadoop.conf.Configuration): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Bounded-parallel map for driver-side metadata IO (footer reads):
+    * order-preserving, at most 16 concurrent reads. */
+  private def parallelMap[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.sizeIs <= 1) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, xs.size))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(xs.map(x => Future(f(x)))),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
 
   /** Read the latest committed snapshot of a table. */
   def readTable(spark: SparkSession, root: String, table: String): DataFrame = {

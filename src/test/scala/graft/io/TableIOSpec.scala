@@ -23,6 +23,36 @@ class TableIOSpec extends SparkSpec {
     assert(manifest.contains("lineage_hash"))
   }
 
+  test("commit metrics come from footers: O(1) Spark jobs for an N-file snapshot") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = (1 to 800).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(8)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val c = TableIO.commitSnapshot(df, root, "tjobs", Map("input" -> "x"))
+      // listener events are async; wait for the count to go quiet
+      var last = -1
+      var spins = 0
+      while (jobs.get() != last && spins < 20) {
+        last = jobs.get(); spins += 1; Thread.sleep(100)
+      }
+      assert(c.rows == 800)
+      // the parquet write is 1 job (+1 for a possible AQE/commit extra);
+      // the old per-file-count loop would have added 8 more
+      assert(jobs.get() <= 2, s"commit ran ${jobs.get()} jobs for an 8-file snapshot")
+      val manifest = Files.readString(Paths.get(c.path, "manifest.json"))
+      assert(manifest.contains("\"rows\": 800"))
+      // per-file rows still recorded, now footer-sourced
+      assert("\"rows\": 100".r.findAllIn(manifest).size == 8)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("resumeOrCompute: same lineage resumes, changed lineage recomputes") {
     import spark.implicits._
     val root = tmpRoot()
