@@ -201,8 +201,15 @@ object Matcher {
         val hotDf = (cfg.knownHotKeysDf, cfg.knownHotKeys) match {
           // same broadcast cap as the detection path: keys beyond it
           // simply stay unsalted (perf-only; AQE skew-join still splits
-          // them at runtime)
-          case (Some(df), _) => df.select("block_key").distinct().limit(1000000)
+          // them at runtime). The capped subset is SORTED first: the
+          // hot-flag subplan feeds BOTH join sides, and if the broadcast
+          // exchange is ever not reused (exchange reuse off, AQE replan)
+          // an arbitrary-order limit could salt different key subsets on
+          // each side and silently drop candidate pairs for keys hot on
+          // one side only — sort+limit makes the subset deterministic,
+          // so both evaluations agree.
+          case (Some(df), _) =>
+            df.select("block_key").distinct().sort("block_key").limit(1000000)
           case (None, Some(keys)) =>
             left.sparkSession
               .createDataset(keys.distinct)(org.apache.spark.sql.Encoders.STRING)
