@@ -218,6 +218,19 @@ object ConnectedComponents {
         f"[cc] rounds $iter%d (+${iter - iterBefore}%d): edges=${newSig._1}%d wall=${(System.nanoTime() - jobT0) / 1e9}%.2fs converged=$converged%b")
     }
 
+    // A maxIter exit without signature convergence means the star
+    // assignment below can return component = min(neighborhood) instead
+    // of the true component minimum — wrong partitions with no other
+    // signal to the caller. O(log n) convergence makes the default cap
+    // generous (25 rounds covers ~2^25-diameter graphs), so reaching it
+    // is always worth a loud warning.
+    if (!converged)
+      System.err.println(
+        s"[cc] WARNING: maxIter=$maxIter reached without convergence " +
+          s"($iter rounds run) — component assignments may be incomplete; " +
+          "raise maxIter (or lower checkEvery: up to 2*checkEvery-1 rounds " +
+          "of the budget go to post-fixed-point no-op chains)")
+
     // At convergence every component is a star rooted at its min id:
     // component(v) = min neighbor (or itself for roots/isolated nodes).
     val assign = neighbors(e).groupBy("a")

@@ -101,10 +101,19 @@ object Pipeline {
       matchStageDf(convNorm, cfg, hotStage.map(_._1))
     }
 
+    // CC returns an eager localCheckpoint (vertex-sized, pinned in
+    // executor storage for the session). The snapshot commit below is
+    // the durable copy, so free the checkpoint once committed —
+    // without this, repeated pipeline runs in a long-lived session
+    // accumulate one pinned vertex set per run.
+    var ccResult: Option[DataFrame] = None
     val (clusters, r3) = TableIO.resumeOrCompute(spark, workRoot, "clusters",
       lineage("clusters")) {
-      ConnectedComponents.run(matches, "left_id", "right_id")
+      val r = ConnectedComponents.run(matches, "left_id", "right_id")
+      ccResult = Some(r)
+      r
     }
+    ccResult.foreach(graft.util.CheckpointHygiene.free)
 
     Result(
       Seq(StageResult("conv_norm", convNorm.count(), r1)) ++

@@ -22,6 +22,15 @@ class PipelineSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("run() releases the CC result checkpoint once the clusters snapshot commits") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val root = Files.createTempDirectory("graft_pipe_free").toString
+    Pipeline.run(spark, sf0001, root, cfg)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty,
+      s"pipeline run left RDDs pinned in executor storage: $leaked")
+  }
+
   test("match stage salts from the snapshot statistic, not an in-query scan") {
     val root = Files.createTempDirectory("graft_pipe").toString
     val res = Pipeline.run(spark, sf0001, root, cfg)
