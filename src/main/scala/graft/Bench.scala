@@ -14,13 +14,20 @@ import org.apache.spark.sql.functions._
   *   - "scored_pairs" / "pairs_per_sec": candidate-pair scoring
   *     throughput of the flagship match (BASELINE.md target metric),
   *     measured on a replica-expanded corpus with the normalize stage
-  *     cached untimed (see [[matchThroughput]]).
+  *     cached untimed (see [[matchThroughput]] / the 32-core leg over
+  *     the scaling corpus snapshot).
   *   - "scaling" / "scaling_attempts": the same match job re-run at
   *     local[4] (N) and local[16] (4N) on identical input — throughput
   *     at both plus efficiency (north rule). The FIRST attempt is a
   *     cheap single-run pair so some scaling evidence lands under any
   *     budget; further attempts (min-of-2/3 runs) refine it while the
   *     budget allows.
+  *
+  * PHASE ORDER (budget priority, the r03 lesson): suite → one shared
+  * corpus prep → QUICK throughput (1-2 runs) → scaling attempts (with
+  * an R=8 then R=4 slow-host/last-chance fallback ladder) → min-of-3
+  * throughput refinement only if >1200 s remain. r03 ran throughput
+  * first with min-of-3 + its own prep (849 s) and scaling starved.
   *
   * DEADLINE DESIGN (the round-1/2 failure mode was a bench that never
   * printed): the whole run answers to a hard wall-clock budget,
@@ -110,7 +117,17 @@ object Bench {
         state.notes += "scaling_all_attempts_implausible"
       val cands = best.pairs
       val (rN, r4N) = (cands / best.t4, cands / best.t16)
-      sb ++= f""","scaling":{"pairs":$cands,"n_cores":4,"n_sec":${best.t4}%.3f,"n_pairs_per_sec":$rN%.0f,"n4_cores":16,"n4_sec":${best.t16}%.3f,"n4_pairs_per_sec":$r4N%.0f,"speedup":${best.t4 / best.t16}%.3f,"efficiency":${best.eff}%.3f,"runs_n":${best.runsN},"runs_4n":${best.runs4N},"replica_r":${best.r}}"""
+      // the selected-best headline is a favorable-selection estimator
+      // under host noise (max-of-noise bias) — emit the median of the
+      // plausible attempts alongside so downstream comparisons can use
+      // the unbiased central number
+      val medianEff = {
+        val effs = (if (plausible.nonEmpty) plausible else state.attempts)
+          .map(_.eff).sorted
+        val n = effs.size
+        if (n % 2 == 1) effs(n / 2) else (effs(n / 2 - 1) + effs(n / 2)) / 2.0
+      }
+      sb ++= f""","scaling":{"pairs":$cands,"n_cores":4,"n_sec":${best.t4}%.3f,"n_pairs_per_sec":$rN%.0f,"n4_cores":16,"n4_sec":${best.t16}%.3f,"n4_pairs_per_sec":$r4N%.0f,"speedup":${best.t4 / best.t16}%.3f,"efficiency":${best.eff}%.3f,"efficiency_median":$medianEff%.3f,"runs_n":${best.runsN},"runs_4n":${best.runs4N},"replica_r":${best.r}}"""
       val attemptsJson = state.attempts.map(a =>
         f"""{"n_sec":${a.t4}%.3f,"n4_sec":${a.t16}%.3f,"efficiency":${a.eff}%.3f,"host_steal_pct":${a.stealPct}%.1f,"runs_n":${a.runsN},"runs_4n":${a.runs4N},"replica_r":${a.r},"pairs":${a.pairs}}""")
         .mkString("[", ",", "]")
@@ -152,13 +169,32 @@ object Bench {
     * temp names unconditionally, plus Spark's `blockmgr-*` / `spark-*`
     * scratch dirs — halt(0) skips Spark's disk-cleanup shutdown hooks
     * too, and parent+child JVMs leak GBs of shuffle scratch per run.
-    * Spark dirs are only removed when STALE (> 1 h old) so a
-    * concurrently-running Spark app's live scratch is never touched. */
+    *
+    * Staleness is judged by the RECURSIVE max mtime, not the top-level
+    * dir mtime: a live long-running Spark app's blockmgr dir keeps its
+    * creation mtime (blocks land in hashed subdirs), so a top-level
+    * check would delete a concurrent >1h session's LIVE shuffle blocks
+    * — an unrecoverable failure for that job. Any write in the last
+    * hour anywhere under the dir marks it live. (A live-but-idle-for-
+    * an-hour session could still be hit; combined with the one-bench-
+    * at-a-time environment and the fact that idle sessions hold no
+    * in-flight jobs, the remaining risk is a re-read of an unpersisted
+    * cache — recomputable — not lost shuffle state.) */
   private def sweepStaleTemp(): Unit =
     try {
       import scala.jdk.CollectionConverters._
       val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       val staleMs = System.currentTimeMillis() - 3600L * 1000
+      def maxMtime(p: java.nio.file.Path): Long =
+        try {
+          val self = java.nio.file.Files.getLastModifiedTime(p).toMillis
+          if (!java.nio.file.Files.isDirectory(p)) self
+          else {
+            val kids = java.nio.file.Files.list(p)
+            try (self +: kids.iterator().asScala.map(maxMtime).toSeq).max
+            finally kids.close()
+          }
+        } catch { case _: Exception => Long.MaxValue } // unreadable => live
       def sweep(dir: java.nio.file.Path): Unit =
         if (java.nio.file.Files.isDirectory(dir))
           java.nio.file.Files.list(dir).iterator().asScala.foreach { p =>
@@ -166,9 +202,7 @@ object Bench {
             val ours = n.startsWith("graft-scaling") ||
               (n.startsWith("graft-leg") && n.endsWith(".out"))
             val sparkScratch = (n.startsWith("blockmgr-") || n.startsWith("spark-")) &&
-              n != "spark-local" &&
-              (try java.nio.file.Files.getLastModifiedTime(p).toMillis < staleMs
-               catch { case _: Exception => false })
+              n != "spark-local" && maxMtime(p) < staleMs
             if (ours || sparkScratch) deleteRecursively(p)
           }
       sweep(tmp)
@@ -558,6 +592,35 @@ object Bench {
       progress(f"scaling prep done: $cands%d candidate pairs")
     }
     prep()
+    // the first prep's corpus doubles as the headline-throughput input
+    // (same methodology: committed-snapshot read, cached untimed, timed
+    // scoring join) — remember it so the post-scaling refinement can
+    // reuse it even after a slow-host R fallback re-preps smaller
+    val (corpus0, hot0, cands0) = (corpusPath, hotPath, cands)
+
+    /** One 32-core throughput measurement over the prepped corpus;
+      * updates the headline if it beats (or first sets) it. */
+    def throughput32(runs: Int, tag: String): Unit =
+      try {
+        progress(s"throughput $tag start (runs=$runs, 32 cores, R=${replicaR(16)})")
+        val sec = withSession(32)(legSeconds(_, corpus0, hot0, runs))
+        state.synchronized {
+          if (state.throughput.forall(_._2 > sec))
+            state.throughput = Some((cands0, sec, cands0 / sec))
+        }
+        progress(f"throughput $tag: $cands0%d pairs in $sec%.1fs = ${cands0 / sec}%.0f pairs/sec")
+      } catch { case e: Exception =>
+        state.synchronized { state.notes += s"throughput_${tag}_failed" }
+        progress(s"throughput $tag FAILED: ${e.getMessage}")
+      }
+
+    // QUICK headline first (one or two runs, ~30-70 s clean): the r03
+    // run spent 849 s on warm + min-of-3 throughput BEFORE the first
+    // scaling attempt and both attempts then died on the budget —
+    // scaling is the north-rule number, so it gets the budget priority;
+    // the min-of-3 refinement runs AFTER scaling if time remains.
+    if (remainingSec > 300)
+      throughput32(runs = if (remainingSec > 1500) 2 else 1, tag = "quick")
 
     // per-run leg-seconds estimates: clean-host priors (R=16), updated
     // from every measurement, scaled on R switches, inflated on timeout
@@ -595,14 +658,27 @@ object Bench {
     var attempt = 0
     var done = false
     while (!done && attempt < maxAttempts && remainingSec > 150) {
-      // slow-host fallback: half-size corpus once the 4-core leg is
-      // measured (or estimated, after a timeout) at > 150 s/run
-      if (r == 16 && est(4) > 150 && remainingSec > 300 &&
-        !sys.env.contains("SPARK_GRAFT_R")) {
-        r = 8
-        est(4) *= 0.55; est(16) *= 0.55
-        state.synchronized { state.notes += "scaling_r8_slow_host_fallback" }
-        prep()
+      // slow-host fallback ladder: halve the corpus while the 4-core
+      // leg is measured (or estimated, after a timeout) at > 150 s/run
+      // — R=16 → 8 → 4. Fixed per-job costs cap efficiency LOW on a
+      // fast host at small R, but are a small share of a slow host's
+      // inflated legs, so the smaller job loses little fidelity and
+      // fits more attempts. The R=4 rung (~9M pairs, clean legs
+      // ~30 s/8 s, ~2 min even 4×-slow) is also taken as a LAST-CHANCE
+      // micro-attempt when the budget is nearly gone with nothing
+      // measured yet: some efficiency number must land every run.
+      if (!sys.env.contains("SPARK_GRAFT_R")) {
+        val wantR =
+          if (est(4) > 150 && r > 4) math.max(4, r / 2)
+          else if (state.attempts.isEmpty && remainingSec < 420 && r > 4) 4
+          else r
+        if (wantR != r && remainingSec > 220) {
+          val shrink = math.pow(0.55, (math.log(r.toDouble / wantR) / math.log(2)).round.toDouble)
+          r = wantR
+          est(4) *= shrink; est(16) *= shrink
+          state.synchronized { state.notes += s"scaling_r${r}_slow_host_fallback" }
+          prep()
+        }
       }
       // attempt 1: cheap 1/2-run pair — guaranteed scaling evidence
       // fast (the 16-core leg gets a second run because its JIT-cold
@@ -652,6 +728,13 @@ object Bench {
     }
     if (state.attempts.isEmpty)
       state.synchronized { state.notes += "scaling_no_completed_attempt" }
+
+    // refine the headline throughput (min-of-3) only AFTER scaling has
+    // had its chance at the budget, and only with generous runway —
+    // in r03 this phase ran first and starved scaling entirely
+    if (remainingSec > 1200) throughput32(runs = 3, tag = "refine")
+    else if (state.throughput.isEmpty)
+      state.synchronized { state.notes += "throughput_skipped_budget" }
   }
 
   // -- main ----------------------------------------------------------------
@@ -717,27 +800,34 @@ object Bench {
           progress(f"$name: $sec%.1fs")
         }
       }
-      // headline scored-pair throughput at full core count, same
-      // methodology as the scaling runs (cached normalize, timed scoring)
-      if (remainingSec > 300) {
-        // min-of-3 when the budget is comfortable: single-window host
-        // noise moved the min-of-2 headline 1.1-1.75M pairs/sec across
-        // otherwise-identical runs; a third sample costs ~22s
-        val runs = if (remainingSec > 900) 3 else if (remainingSec > 480) 2 else 1
-        progress(s"throughput start (runs=$runs)")
-        try {
-          val (c, sec, rate) = matchThroughput(s, dir, warm = remainingSec > 480, runs)
-          state.synchronized { state.throughput = Some((c, sec, rate)) }
-          progress(f"throughput: $c%d pairs in $sec%.1fs = $rate%.0f pairs/sec")
-        } catch { case e: Exception =>
-          state.synchronized { state.notes += "throughput_failed" }
-          progress(s"throughput FAILED: ${e.getMessage}")
-        }
-      } else state.synchronized { state.notes += "throughput_skipped_budget" }
+      // When the scaling phase is disabled (iteration/tests), measure
+      // headline throughput the in-session way. With scaling ON the
+      // throughput is measured inside runScaling over the SAME prepped
+      // corpus snapshot the legs score (one prep serves both — in r03
+      // separate preps + a scaling-last phase order burned 849 s on
+      // throughput and then starved scaling of its budget).
+      if (!scaling) {
+        if (remainingSec > 300) {
+          // min-of-3 when the budget is comfortable: single-window host
+          // noise moved the min-of-2 headline 1.1-1.75M pairs/sec across
+          // otherwise-identical runs; a third sample costs ~22s
+          val runs = if (remainingSec > 900) 3 else if (remainingSec > 480) 2 else 1
+          progress(s"throughput start (runs=$runs)")
+          try {
+            val (c, sec, rate) = matchThroughput(s, dir, warm = remainingSec > 480, runs)
+            state.synchronized { state.throughput = Some((c, sec, rate)) }
+            progress(f"throughput: $c%d pairs in $sec%.1fs = $rate%.0f pairs/sec")
+          } catch { case e: Exception =>
+            state.synchronized { state.notes += "throughput_failed" }
+            progress(s"throughput FAILED: ${e.getMessage}")
+          }
+        } else state.synchronized { state.notes += "throughput_skipped_budget" }
+      }
     }
 
-    // Phase 3: scaling evidence (north rule) — attempts append to state
-    // as they finish, so the watchdog can emit mid-phase.
+    // Phase 3: quick throughput + scaling evidence (north rule) + min-of-3
+    // throughput refinement, in that budget-priority order — attempts
+    // append to state as they finish, so the watchdog can emit mid-phase.
     if (scaling) {
       try runScaling(dir) catch { case e: Exception =>
         state.synchronized { state.notes += "scaling_failed" }
