@@ -41,6 +41,9 @@ object ExtraQueries {
       docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))),
     "d_simhash_pairs" -> ((s, dir) =>  // exact-recall pigeonhole blocking
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)),
+    "d_simhash_pairs_mt" -> ((s, dir) =>  // multi-table variant, radius 8
+      Dedup.simhashPairsMultiTable(docs(s, dir), "doc_id", "text",
+        maxHamming = 8, numBlocks = 12, keyBlocks = 2)),
     "d_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
         Dedup.shingles(col("text"), 5).as("sh"))
@@ -368,6 +371,27 @@ object ExtraQueries {
       |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sim, b.sim)) <= 6
+      |""".stripMargin,
+    // brute-force oracle again: the multi-table blocking must return ALL
+    // pairs within hamming radius 8 (recall is exact by pigeonhole over
+    // block combinations)
+    "d_simhash_pairs_mt" -> s"""
+      |WITH h AS (
+      |  SELECT doc_id,
+      |         list_transform(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+      |           t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+      |  FROM documents
+      |), sims AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(generate_series(0, 59), b ->
+      |      CASE WHEN len(list_filter(hs, x -> (x >> CAST(b AS INT)) & 1 = 1)) * 2 - len(hs) > 0
+      |           THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS sim
+      |  FROM h
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+      |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 8
       |""".stripMargin,
     "d_ngram_jaccard" -> """
       |WITH sh AS (

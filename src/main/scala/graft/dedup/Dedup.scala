@@ -285,4 +285,55 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Manku's MULTI-TABLE simhash blocking — the scheme [[simhashPairs]]
+    * documents as the web-scale path for radii past the single-table
+    * ceiling. The signature is split into `numBlocks` equal-ish blocks
+    * and each "table" keys on the concatenation of one
+    * `keyBlocks`-sized block COMBINATION (C(numBlocks, keyBlocks)
+    * tables, all emitted by one explode — no driver loop, same
+    * bucket-join shape as the single-table scheme).
+    *
+    * Exact recall by pigeonhole: <= maxHamming differing bits touch at
+    * most maxHamming blocks, leaving >= numBlocks - maxHamming blocks
+    * intact; since keyBlocks <= numBlocks - maxHamming, at least one
+    * emitted combination lies entirely inside the intact blocks and
+    * the pair shares that table's key verbatim. Precision is restored
+    * by the explicit hamming filter after the join.
+    *
+    * The trade vs single-table ([[simhashPairs]] = the keyBlocks=1,
+    * numBlocks=maxHamming+1 special case): key width grows from
+    * 60/(k+1) to keyBlocks*60/numBlocks bits — exponentially smaller
+    * buckets (Σ|bucket|² is the join cost) — paid for with
+    * C(numBlocks, keyBlocks)× explode/shuffle rows. At 10^12-doc scale
+    * the bucket-size term dominates, which is why the multi-table form
+    * is the only one that survives radii >= 8 (Manku et al., WWW'07
+    * §3: the permuted-table construction; combinations generalize the
+    * same counting argument). */
+  def simhashPairsMultiTable(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8, numBlocks: Int = 12, keyBlocks: Int = 2): DataFrame = {
+    require(keyBlocks >= 1 && keyBlocks <= numBlocks - maxHamming,
+      s"exact recall needs keyBlocks <= numBlocks - maxHamming " +
+        s"(got keyBlocks=$keyBlocks, numBlocks=$numBlocks, maxHamming=$maxHamming)")
+    require(numBlocks <= 30, s"numBlocks=$numBlocks leaves <2 bits per block")
+    val base = 60 / numBlocks
+    val rem = 60 % numBlocks
+    val widths = Seq.tabulate(numBlocks)(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(b: Int): Column =
+      shiftright(col("sim"), offsets(b))
+        .bitwiseAND(lit((1L << widths(b)) - 1)).cast("string")
+    val combos = (0 until numBlocks).combinations(keyBlocks).toSeq
+    val withSim = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("sim", simhash(col("t")))
+    val blocked = withSim.withColumn("q", explode(array(combos.map(c =>
+      concat_ws("_", lit(c.mkString(",")) +: c.map(blockVal): _*)): _*)))
+    blocked.as("a").join(blocked.as("b"), Seq("q"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sim"), col("b.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -53,4 +53,24 @@ class DedupSpec extends SparkSpec {
       s"blocked != brute: missing=${brute -- blocked} extra=${blocked -- brute}")
     assert(brute.nonEmpty, "test corpus produced no close simhash pairs")
   }
+
+  test("simhashPairsMultiTable: combination blocking is exact at radius 8") {
+    val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
+    val brute = sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Dedup.hamming(col("a.sim"), col("b.sim")).as("hamming"))
+      .filter(col("hamming") <= 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val blocked = Dedup.simhashPairsMultiTable(docs, "doc_id", "text",
+      maxHamming = 8, numBlocks = 12, keyBlocks = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(blocked == brute,
+      s"blocked != brute: missing=${brute -- blocked} extra=${blocked -- brute}")
+    assert(brute.nonEmpty, "test corpus produced no close simhash pairs")
+    // the exact-recall precondition is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsMultiTable(docs, "doc_id", "text",
+        maxHamming = 8, numBlocks = 9, keyBlocks = 2)
+    }
+  }
 }
