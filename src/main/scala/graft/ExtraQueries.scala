@@ -54,7 +54,7 @@ object ExtraQueries {
     }),
     "d_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding",
-        bits = 4, threshold = 0.4)),
+        bits = 4, threshold = 0.4, dims = 64)),
     // -- ANN over embeddings ---------------------------------------------
     "v_ann_brute" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -62,7 +62,8 @@ object ExtraQueries {
     }),
     "v_ann_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
-      SimilaritySearch.lshTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5, bits = 4)
+      SimilaritySearch.lshTopK(e, e.filter(col("vec_id") % 100 === 0),
+        k = 5, bits = 4, dims = 64)
     }),
     "v_ann_ivf" -> ((s, dir) => {
       val e = embs(s, dir)

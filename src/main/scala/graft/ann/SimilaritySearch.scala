@@ -84,7 +84,8 @@ object SimilaritySearch {
       .cast("double") / lit(2147483648.0)) - 1.0
 
   /** LSH bucket id: sign bits of `bits` hyperplane projections.
-    * Interpreted HOFs, but evaluated once per ROW (never per pair). */
+    * Interpreted HOFs, but evaluated once per ROW (never per pair).
+    * When the dimensionality is known, prefer [[lshBucketStatic]]. */
   def lshBucket(vec: Column, bits: Int): Column =
     Seq.tabulate(bits) { p =>
       val proj = aggregate(
@@ -92,6 +93,33 @@ object SimilaritySearch {
           (x, i) => x * planeComponent(p, i)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** [[planeComponent]] computed driver-side — bit-identical: Spark's
+    * `conv(substring(md5(s),1,8),16,10)` parses the first 8 hex chars
+    * (an integer < 2^32, exact in double) and the same division/shift
+    * follows in both forms. */
+  private[graft] def planeComponentConst(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$plane:$dim".getBytes("UTF-8"))
+    val hex8 = md.take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex8, 16).toDouble / 2147483648.0 - 1.0
+  }
+
+  /** Static-plane LSH bucket for a KNOWN dimensionality: the md5-derived
+    * hyperplanes are baked into literal arrays and each projection is
+    * one codegen'd dot product. The dynamic [[lshBucket]] evaluates
+    * bits × dims interpreted md5 expressions per ROW — once per row, so
+    * harmless at sandbox scale, but at a 10^12-row corpus the map-side
+    * bucket assignment IS a full pass over the data and the interpreted
+    * form becomes its bottleneck. Output is bit-identical to
+    * [[lshBucket]] for vectors of exactly `dims` elements (the planes
+    * are the same constants, the projection the same left-to-right
+    * sum); callers with mixed-length vectors keep the dynamic form. */
+  def lshBucketStatic(vec: Column, bits: Int, dims: Int): Column =
+    Seq.tabulate(bits) { p =>
+      val plane = typedLit(Seq.tabulate(dims)(i => planeComponentConst(p, i)))
+      when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** IVF (inverted-file) ANN: the corpus is partitioned into inverted
@@ -153,14 +181,19 @@ object SimilaritySearch {
   }
 
   /** LSH-bucketed ANN: queries only compare against corpus rows in the
-    * same bucket. Returns the same shape as [[bruteTopK]]. */
+    * same bucket. Returns the same shape as [[bruteTopK]].
+    * `dims > 0` enables the static-plane bucket ([[lshBucketStatic]])
+    * for fixed-dimension corpora. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = -1): DataFrame = {
+    def bucket(v: Column): Column =
+      if (dims > 0) lshBucketStatic(v, bits, dims) else lshBucket(v, bits)
     val c = sideWithNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cnrm")
-      .withColumn("bucket", lshBucket(col("cv"), bits))
+      .withColumn("bucket", bucket(col("cv")))
     val q = sideWithNorm(queries, idCol, vecCol, "query_id", "qv", "qnrm")
-      .withColumn("bucket", lshBucket(col("qv"), bits))
+      .withColumn("bucket", bucket(col("qv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(

@@ -227,12 +227,14 @@ object Dedup {
     */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 4, threshold: Double = 0.4): DataFrame = {
-    import graft.ann.SimilaritySearch.{cosineWithNorms, lshBucket, norm}
+      bits: Int = 4, threshold: Double = 0.4, dims: Int = -1): DataFrame = {
+    import graft.ann.SimilaritySearch.{cosineWithNorms, lshBucket, lshBucketStatic, norm}
     // per-ROW invariants (bucket, L2 norm) before the self-join; the
     // per-PAIR cost is one codegen'd dot product (see SimilaritySearch)
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("e"))
-      .withColumn("bucket", lshBucket(col("e"), bits))
+      .withColumn("bucket",
+        if (dims > 0) lshBucketStatic(col("e"), bits, dims)
+        else lshBucket(col("e"), bits))
       .withColumn("nrm", norm(col("e")))
     v.as("a").join(v.as("b"), Seq("bucket"))
       .filter(col("a.id") < col("b.id"))

@@ -50,6 +50,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(got(2).getDouble(0) == 11.0)
   }
 
+  test("static-plane LSH bucket is bit-identical to the dynamic HOF form") {
+    import graft.ann.SimilaritySearch.{lshBucket, lshBucketStatic}
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val got = e.select(
+      lshBucket(col("e"), 6).as("dyn"),
+      lshBucketStatic(col("e"), 6, 64).as("stat")).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"dyn=${r.getLong(0)} stat=${r.getLong(1)}"))
+    // and the driver-side plane constant replicates Spark's md5 derivation
+    val sparkPlane = e.sparkSession.range(1).select(
+      (conv(substring(md5(lit("plane3:17")), 1, 8), 16, 10)
+        .cast("double") / lit(2147483648.0) - 1.0).as("p")).head().getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(sparkPlane) ==
+      java.lang.Double.doubleToRawLongBits(
+        graft.ann.SimilaritySearch.planeComponentConst(3, 17)))
+  }
+
   test("ANN scored plan keeps the dot product inside whole-stage codegen") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val topk = graft.ann.SimilaritySearch.bruteTopK(
