@@ -17,6 +17,17 @@ run / fork := true
 // round-3 driver run captured `[info] {...}` and parsed nothing).
 // Bench keeps progress on stderr; stdout carries only the result line.
 Compile / run / outputStrategy := Some(StdoutOutput)
+// ...and keep sbt's OWN trailing chatter off stdout too: without these,
+// a `[warn] ... spent in GC ...` (sbt's GC monitor, fired at teardown
+// after long runs — seen in the round-3 driver tail) and a
+// `[success] Total time: ...` line print AFTER the bench's JSON, so a
+// last-line parser still misses it. sbt.gc.monitor=false rides along
+// in .jvmopts (sbt reads it from the project root).
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task, so the
+// unused-key lint false-positives on it (and would add 8 [warn] lines
+// to every driver invocation's stdout)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
