@@ -231,6 +231,25 @@ object SparkEntry {
       addrNorm(AddressFixture.rightAll(s, dir)).select("id", "address_norm", "lat", "lon")),
     // Full scored match with digits + geo confidence (J6-J12).
     "a_match_lev" -> ((s, dir) => addrMatchLev(s, dir)),
+    // Incremental re-match (the per-ingest-batch production shape):
+    // split the corpus by entity-key parity into an "old" committed
+    // half and a "new" increment, score only new×all and old×new, and
+    // re-rank the union with the prior old×old top-k snapshot. The
+    // result is provably identical to the full match
+    // (Matcher.matchPairsIncremental scaladoc), so the oracle is the
+    // SAME full-match SQL as a_match_lev — the strongest check the
+    // driver can run on an incremental path.
+    "a_match_incr" -> ((s, dir) => {
+      val isOld = expr("CAST(regexp_extract(id, '([0-9]+)', 1) AS BIGINT) % 2 = 0")
+      val l = addrNorm(AddressFixture.left(s, dir))
+      val r = addrNorm(AddressFixture.rightAll(s, dir))
+      val prior = Matcher.matchPairs(l.filter(isOld), r.filter(isOld), addrCfg,
+        idCol = "id", textCol = "address_norm", hasGeo = true)
+      Matcher.matchPairsIncremental(
+        l.filter(isOld), l.filter(not(isOld)),
+        r.filter(isOld), r.filter(not(isOld)),
+        prior, addrCfg, idCol = "id", textCol = "address_norm", hasGeo = true)
+    }),
     // Transitive clustering — large-star/small-star connected components.
     "a_clusters" -> ((s, dir) => addrClusters(s, dir)),
     // Index mode (J14): positional zip join.
@@ -318,6 +337,9 @@ object SparkEntry {
     "a_right_norm" -> withAddrCtes(
       s"SELECT id, ${Normalizer.normalizeAddressSqlDuck("address")} AS address_norm, lat, lon FROM addr_right"),
     "a_match_lev" -> withAddrCtes(s"SELECT * FROM ($addrMatchBody)"),
+    // incremental == full (see the queries entry), so the oracle is
+    // the full-match SQL verbatim
+    "a_match_incr" -> withAddrCtes(s"SELECT * FROM ($addrMatchBody)"),
     "a_clusters" -> withAddrCtes(
       s"""
          |, m AS ($addrMatchBody),

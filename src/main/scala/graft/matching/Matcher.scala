@@ -95,6 +95,20 @@ object Matcher {
       cfg: MatchConfig,
       idCol: String = "id",
       textCol: String = "text",
+      hasGeo: Boolean = false): DataFrame =
+    rankTopK(scoredPairs(left, right, cfg, idCol, textCol, hasGeo), cfg.topk)
+
+  /** The scoring stage of [[matchPairs]] WITHOUT the final top-k
+    * ranking: every blocked candidate pair at or above the threshold,
+    * as (left_id, right_id, score). Exposed so incremental matching
+    * ([[matchPairsIncremental]]) can union score sets from several
+    * pair subspaces and rank ONCE over the union. */
+  def scoredPairs(
+      left: DataFrame,
+      right: DataFrame,
+      cfg: MatchConfig,
+      idCol: String = "id",
+      textCol: String = "text",
       hasGeo: Boolean = false): DataFrame = {
     val scorer = FuzzFunctions.scorer(cfg.scorer)
     // token_set_ratio hot path: tokenize/sort/dedup once per ROW, score
@@ -245,19 +259,67 @@ object Matcher {
 
     val conf = Scores.combine(textS, digitsS, geoS, cfg.wText, cfg.wDigits, cfg.wGeo)
 
-    val scored = gated
+    gated
       .withColumn("score", conf)
       .filter(col("score") >= cfg.thresholdScaled)
+      .select(col("left_id"), col("right_id"), col("score"))
+  }
 
-    // Top-k per left row (match.py:224-225). The reference sorts by conf
-    // desc with python's stable sort; we add right_id asc as an explicit
-    // deterministic tie-break.
+  /** Top-k per left row (match.py:224-225) over a (left_id, right_id,
+    * score) pair set. The reference sorts by conf desc with python's
+    * stable sort; we add right_id asc as an explicit deterministic
+    * tie-break. */
+  def rankTopK(scored: DataFrame, topk: Int): DataFrame = {
     val w = Window.partitionBy(col("left_id"))
       .orderBy(col("score").desc, col("right_id").asc)
     scored
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= cfg.topk)
+      .filter(col("rn") <= topk)
       .select(col("left_id"), col("right_id"), col("score"))
+  }
+
+  /** Incremental re-match after an increment lands on either side —
+    * the production shape for a 10^12-turn corpus where matching runs
+    * per ingest batch: never re-score the old×old pair space, whose
+    * top-k is already committed as the prior `matches` snapshot.
+    *
+    * Exactly equivalent to `matchPairs(leftOld ∪ leftNew,
+    * rightOld ∪ rightNew, cfg)` (property-tested in MatcherSpec):
+    * the full pair space splits into old×old ∪ new×all ∪ old×new, and
+    * for the old×old part the prior TOP-K is a sufficient summary — a
+    * pair ranked ≤ k in the full result ranks ≤ k within any subset it
+    * belongs to (fewer competitors), so every final winner from
+    * old×old is present in the prior snapshot; scores are
+    * deterministic, so re-ranking the union of the three score sets
+    * with the same (score desc, right_id asc) order reproduces the
+    * full ranking. Cost scales with the increment (|L_new|·blocked(R)
+    * + |L_old|·blocked(R_new)), not the corpus — at a daily-batch
+    * design point that is orders of magnitude below a full re-match,
+    * and the prior snapshot contributes a scan, not a join.
+    *
+    * `priorMatches` must be the committed `matchPairs(leftOld,
+    * rightOld, cfg)` result (left_id, right_id, score) under the SAME
+    * config — a different threshold/scorer/blocking would make the
+    * summary argument above unsound. */
+  def matchPairsIncremental(
+      leftOld: DataFrame,
+      leftNew: DataFrame,
+      rightOld: DataFrame,
+      rightNew: DataFrame,
+      priorMatches: DataFrame,
+      cfg: MatchConfig,
+      idCol: String = "id",
+      textCol: String = "text",
+      hasGeo: Boolean = false): DataFrame = {
+    val newVsAll = scoredPairs(
+      leftNew, rightOld.unionByName(rightNew), cfg, idCol, textCol, hasGeo)
+    val oldVsNew = scoredPairs(
+      leftOld, rightNew, cfg, idCol, textCol, hasGeo)
+    rankTopK(
+      priorMatches.select(col("left_id"), col("right_id"), col("score"))
+        .unionByName(newVsAll)
+        .unionByName(oldVsNew),
+      cfg.topk)
   }
 
   /** Write a side as a parquet table BUCKETED (and sorted) by its

@@ -32,6 +32,20 @@ object StreamingNormalize {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("win_start"), col("tool_norm"), col("cnt"))
 
+  /** Streaming exact dedup of turns at ingest (D1's streaming face):
+    * `dropDuplicatesWithinWatermark` keyed on the turn identity. State
+    * for a key is dropped once the event-time watermark passes it, so
+    * state size tracks the in-flight delay window — NOT the corpus —
+    * the only shape that survives a 10^12-turn stream (an unbounded
+    * `dropDuplicates` would pin every key ever seen in the state
+    * store). Duplicates arriving within `delay` of the original are
+    * suppressed; re-deliveries older than the watermark are the batch
+    * dedup stage's job downstream. */
+  def dedupTurnsStream(turns: DataFrame, delay: String = "10 minutes"): DataFrame =
+    turns
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+
   case class ConvState(turns: List[(Int, String)])
   case class ConvDoc(conv_id: String, n_turns: Int, doc: String)
 

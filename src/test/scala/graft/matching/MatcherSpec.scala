@@ -65,6 +65,28 @@ class MatcherSpec extends SparkSpec {
     assert(plain.exceptAll(adaptive).count() == 0 && adaptive.exceptAll(plain).count() == 0)
   }
 
+  test("incremental match equals full match (salted; and empty increment = prior)") {
+    val left = norm(AddressFixture.left(spark, sf0001))
+    val right = norm(AddressFixture.rightAll(spark, sf0001))
+    val c = cfg.copy(topk = 3, saltBuckets = 8, saltHotPairs = 1L)
+    val full = Matcher.matchPairs(left, right, c,
+      idCol = "id", textCol = "address_norm", hasGeo = true).cache()
+    val isOld = expr("CAST(regexp_extract(id, '([0-9]+)', 1) AS BIGINT) % 2 = 0")
+    val prior = Matcher.matchPairs(left.filter(isOld), right.filter(isOld), c,
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    val incr = Matcher.matchPairsIncremental(
+      left.filter(isOld), left.filter(not(isOld)),
+      right.filter(isOld), right.filter(not(isOld)),
+      prior, c, idCol = "id", textCol = "address_norm", hasGeo = true)
+    assert(full.exceptAll(incr).count() == 0 && incr.exceptAll(full).count() == 0)
+    // empty increment: re-ranking the prior alone must be a no-op
+    val incrEmpty = Matcher.matchPairsIncremental(
+      left, left.limit(0), right, right.limit(0), full, c,
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    assert(full.exceptAll(incrEmpty).count() == 0 &&
+      incrEmpty.exceptAll(full).count() == 0)
+  }
+
   test("transitive clustering recovers latent entities (size-3 clusters)") {
     val left = norm(AddressFixture.left(spark, sf0001))
     val right = norm(AddressFixture.rightAll(spark, sf0001))

@@ -31,6 +31,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark suppresses re-delivered turns") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val q = StreamingNormalize.dedupTurnsStream(mem.toDF(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_turns")
+      .outputMode("append").start()
+    try {
+      // duplicate inside one batch AND re-delivery across batches
+      mem.addData(turn("c1", 0, "hello", null, 5), turn("c1", 0, "hello", null, 5),
+        turn("c1", 1, "world", null, 6))
+      q.processAllAvailable()
+      mem.addData(turn("c1", 0, "hello", null, 5), turn("c2", 0, "other", null, 8))
+      q.processAllAvailable()
+      val rows = spark.sql("select conv_id, turn_idx from dedup_turns").collect()
+        .map(r => (r.getString(0), r.getInt(1)))
+      assert(rows.length == 3 && rows.toSet ==
+        Set(("c1", 0), ("c1", 1), ("c2", 0)), s"got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stateful conversation assembly emits ordered docs on session gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
