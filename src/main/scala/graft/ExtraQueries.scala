@@ -37,6 +37,10 @@ object ExtraQueries {
     "d_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
         k = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.5)),
+    // the full fuzzy-dedup pipeline: pairs -> CC -> keeper per cluster
+    "d_minhash_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(docs(s, dir), "doc_id", "text",
+        k = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.5)),
     "d_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))),
     "d_simhash_pairs" -> ((s, dir) =>  // exact-recall pigeonhole blocking
@@ -283,23 +287,11 @@ object ExtraQueries {
   private def docsLangScoreDuck(ws: Seq[String]): String =
     s"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '' AND t IN (${ws.map(w => s"'$w'").mkString(",")})))"
 
-  val oracleSql: Map[String, String] = Map(
-    "d_dedup_exact" -> "SELECT DISTINCT * FROM documents",
-    "d_dedup_norm" -> s"""
-      |WITH f AS (SELECT doc_id, ${TextAnalysis.fingerprintSqlDuck("text")} AS fp FROM documents)
-      |SELECT min(doc_id) AS doc_id, fp FROM f GROUP BY fp
-      |""".stripMargin,
-    "d_dup_flag" -> """
-      |SELECT doc_id, lang, source,
-      |       CAST(count(*) OVER (PARTITION BY lang, source) > 1 AS INT) AS is_dup
-      |FROM documents
-      |""".stripMargin,
-    // MinHash mirror of Dedup.mhMix: per-seed 60-bit xor constant, then
-    // the premasked xorshift steps — each stage its own list_transform
-    // so intermediates bind once (no md5 re-evaluation).
-    "d_minhash_pairs" -> {
-      val consts = Dedup.mhSeedConsts.take(16).mkString("[", ", ", "]")
-      s"""
+  /** The d_minhash_pairs oracle statement, shared with the
+    * d_minhash_clusters oracle (which embeds it as a CTE). */
+  private def minhashPairsSqlDuck: String = {
+    val consts = Dedup.mhSeedConsts.take(16).mkString("[", ", ", "]")
+    s"""
       |WITH sh AS (
       |  SELECT doc_id,
       |         list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 0)),
@@ -339,7 +331,45 @@ object ExtraQueries {
       |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
       |      CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= 0.5
       |""".stripMargin
-    },
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "d_dedup_exact" -> "SELECT DISTINCT * FROM documents",
+    "d_dedup_norm" -> s"""
+      |WITH f AS (SELECT doc_id, ${TextAnalysis.fingerprintSqlDuck("text")} AS fp FROM documents)
+      |SELECT min(doc_id) AS doc_id, fp FROM f GROUP BY fp
+      |""".stripMargin,
+    "d_dup_flag" -> """
+      |SELECT doc_id, lang, source,
+      |       CAST(count(*) OVER (PARTITION BY lang, source) > 1 AS INT) AS is_dup
+      |FROM documents
+      |""".stripMargin,
+    // MinHash mirror of Dedup.mhMix: per-seed 60-bit xor constant, then
+    // the premasked xorshift steps — each stage its own list_transform
+    // so intermediates bind once (no md5 re-evaluation).
+    // MinHash mirror of Dedup.mhMix (shared body above): per-seed
+    // 60-bit xor constant, then the premasked xorshift steps.
+    "d_minhash_pairs" -> minhashPairsSqlDuck,
+    // clusters = recursive closure over the SAME pair SQL + left join
+    // back to all docs (singletons are their own cluster, kept=1)
+    "d_minhash_clusters" -> s"""
+      |WITH mp AS ($minhashPairsSqlDuck),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM mp
+      |          UNION SELECT id_b, id_a FROM mp),
+      |comp AS (
+      |  SELECT id, min(r) AS component FROM (
+      |    WITH RECURSIVE reach(id, r) AS (
+      |      SELECT u, u FROM edges
+      |      UNION
+      |      SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+      |    ) SELECT id, r FROM reach
+      |  ) GROUP BY id
+      |)
+      |SELECT d.doc_id,
+      |       COALESCE(c.component, d.doc_id) AS cluster_id,
+      |       CAST(COALESCE(c.component, d.doc_id) = d.doc_id AS INT) AS kept
+      |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+      |""".stripMargin,
     "d_simhash" -> s"""
       |WITH h AS (
       |  SELECT doc_id,

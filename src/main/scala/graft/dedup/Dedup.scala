@@ -191,6 +191,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The full fuzzy-dedup pipeline (the shape production corpus dedup
+    * runs at 100 TB — cf. C4/RefinedWeb: near-dup pairs → transitive
+    * closure → one keeper per duplicate cluster): [[minhashLshPairs]]
+    * over the corpus, large-star/small-star connected components over
+    * the pair graph, keeper = the cluster's minimum doc id. Every input
+    * doc comes back — singletons (no near-dup edge) are their own
+    * cluster — with `cluster_id` and a `kept` 0/1 flag, so the dedup'd
+    * corpus is `filter(kept = 1)` and the dup-mapping table is the rest.
+    *
+    * Scale shape: pairs are bucketed (never all-pairs), CC is O(log n)
+    * rounds of two shuffles each, the final assembly is one left join
+    * on doc id. The CC result is an eager localCheckpoint pinned in
+    * executor storage — callers that loop (re-dedup per snapshot in a
+    * long session) should free the returned frame's blocks via
+    * [[graft.util.CheckpointHygiene]] after the kept set is committed,
+    * exactly as [[graft.pipeline.Pipeline]] does for clusters. */
+  def nearDupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      jaccardThreshold: Double = 0.6): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, k, numHashes, bands, jaccardThreshold)
+    val cc = graft.cluster.ConnectedComponents.run(pairs, "id_a", "id_b")
+    df.select(col(idCol).as("doc_id"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+          .cast("int").as("kept"))
+  }
+
   // -- SimHash -------------------------------------------------------------
 
   /** 60-bit SimHash over whitespace tokens: per bit, net +1/-1 vote from

@@ -40,6 +40,31 @@ class DedupSpec extends SparkSpec {
     assert(recalled >= 18, s"LSH recall too low: $recalled/20, missed ${planted -- pairs}")
   }
 
+  test("nearDupClusters: one keeper per cluster, endpoints co-clustered, all docs covered") {
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+      k = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.5).cache()
+    // every input doc comes back exactly once
+    assert(clusters.count() == 40 &&
+      clusters.select("doc_id").distinct().count() == 40)
+    // exactly one kept=1 row per cluster, and it is the cluster min id
+    val perCluster = clusters.groupBy("cluster_id").agg(
+      sum("kept").as("n_kept"), min("doc_id").as("min_id"))
+    assert(perCluster.filter(col("n_kept") =!= 1).count() == 0)
+    assert(perCluster.filter(col("min_id") =!= col("cluster_id")).count() == 0)
+    // every near-dup pair's endpoints land in the same cluster
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.5)
+    val byId = clusters.select(col("doc_id"), col("cluster_id"))
+    val split = pairs
+      .join(byId.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("cluster_id", "ca"), "id_a")
+      .join(byId.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("cluster_id", "cb"), "id_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(split == 0, s"$split near-dup pairs split across clusters")
+    clusters.unpersist()
+  }
+
   test("simhashPairs: pigeonhole blocking recalls every pair within the radius") {
     val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
     val brute = sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
