@@ -101,6 +101,9 @@ object ExtraQueries {
     "g_histogram" -> ((s, dir) =>
       Profiler.histogram(docs(s, dir), col("n_chars"), 50)),
     "g_gini" -> ((s, dir) => Profiler.giniDiversity(docs(s, dir), "lang")),
+    "g_quantiles" -> ((s, dir) =>
+      Profiler.quantiles(docs(s, dir), length(col("text")),
+        Seq(0.25, 0.5, 0.75, 0.95))),
     "g_token_freq" -> ((s, dir) => Profiler.tokenFrequency(docs(s, dir), "text", 20)),
     "g_bigrams" -> ((s, dir) => Profiler.bigramFrequency(docs(s, dir), "text", 20)),
     "g_keywords" -> ((s, dir) =>
@@ -616,6 +619,14 @@ object ExtraQueries {
       |WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
       |SELECT 1.0::DOUBLE - CAST(sum(cnt*cnt) AS DOUBLE) / CAST(sum(cnt) * sum(cnt) AS DOUBLE) AS gini
       |FROM c
+      |""".stripMargin,
+    // quantile_cont shares percentile's rank = p·(n−1) linear
+    // interpolation; both sides round to 6 dp
+    "g_quantiles" -> """
+      |SELECT 0 AS i, round(quantile_cont(length(text), 0.25), 6) AS q FROM documents
+      |UNION ALL SELECT 1, round(quantile_cont(length(text), 0.50), 6) FROM documents
+      |UNION ALL SELECT 2, round(quantile_cont(length(text), 0.75), 6) FROM documents
+      |UNION ALL SELECT 3, round(quantile_cont(length(text), 0.95), 6) FROM documents
       |""".stripMargin,
     "g_token_freq" -> """
       |SELECT token, count(*) AS cnt FROM (

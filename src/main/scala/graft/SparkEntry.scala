@@ -208,6 +208,16 @@ object SparkEntry {
     "b_block_keys" -> ((s, dir) =>
       convNorm(s, dir).select(col("conv_id"),
         BlockKeys.blockKey(col("text_norm"), "digits+prefix6").as("block_key"))),
+    // The block-key histogram as a first-class statistic query — the
+    // normalize-commit-time table whose Σ pairs prices a match job and
+    // whose ≥saltHotPairs slice is the matcher's salted hot set.
+    "b_block_hist" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      Matcher.blockHistogram(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        MatchConfig.reference, textCol = "text_norm")
+    }),
     // Block join + scoring + threshold + topk (J1-J3, J6-J7, J10-J12).
     "m_match_jw" -> ((s, dir) => matchJw(s, dir)),
     // Anti-join unmatched outputs (J15).
@@ -442,6 +452,15 @@ object SparkEntry {
     "b_block_keys" -> withCtes(
       s"""SELECT conv_id, ${BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)} AS block_key
          |FROM conv_norm""".stripMargin),
+    "b_block_hist" -> withCtes(
+      s""", lk AS (SELECT ${BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)} AS block_key
+         |         FROM conv_norm WHERE variant = 0),
+         |rk AS (SELECT ${BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)} AS block_key
+         |       FROM conv_norm WHERE variant > 0),
+         |lh AS (SELECT block_key, count(*) AS nl FROM lk GROUP BY 1),
+         |rh AS (SELECT block_key, count(*) AS nr FROM rk GROUP BY 1)
+         |SELECT lh.block_key, nl, nr, nl * nr AS pairs
+         |FROM lh JOIN rh ON lh.block_key = rh.block_key""".stripMargin),
     "m_tsr_pretok" -> withCtes(
       """SELECT conv_id,
         |       array_to_string(list_sort(list_distinct(

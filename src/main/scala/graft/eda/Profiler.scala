@@ -47,6 +47,31 @@ object Profiler {
       .select((lit(1.0) - col("sum_sq").cast("double") /
         (col("t") * col("t")).cast("double")).as("gini"))
 
+  /** A3 companion: EXACT quantiles via `percentile` (linear
+    * interpolation at rank p·(n−1), the same definition as DuckDB's
+    * `quantile_cont`, so the result is oracle-able). Exact percentile
+    * buffers the value multiset per partition — fine for bounded
+    * domains (lengths, counts), memory-bound on high-cardinality
+    * columns at corpus scale, which is what [[approxQuantiles]] is
+    * for. Output: (i, q) per requested quantile, rounded to 6 dp to
+    * absorb engine-level float-summation differences. */
+  def quantiles(df: DataFrame, c: Column, ps: Seq[Double]): DataFrame =
+    df.agg(percentile(c, typedlit(ps)).as("qs"))
+      .select(posexplode(col("qs")))
+      .select(col("pos").cast("int").as("i"), round(col("col"), 6).as("q"))
+
+  /** The 100-TB quantile path: `percentile_approx` (Greenwald–Khanna
+    * sketch) — fixed-size state per partition regardless of
+    * cardinality, mergeable map-side, rank error ≤ 1/accuracy. Not
+    * oracle-able bit-for-bit (sketch internals are engine-specific);
+    * spec-gated against the exact quantiles with a rank-error bound
+    * instead (ProfilerSpec). */
+  def approxQuantiles(
+      df: DataFrame, c: Column, ps: Seq[Double], accuracy: Int = 10000): DataFrame =
+    df.agg(percentile_approx(c, typedlit(ps), lit(accuracy)).as("qs"))
+      .select(posexplode(col("qs")))
+      .select(col("pos").cast("int").as("i"), col("col").cast("double").as("q"))
+
   /** A6 (DeepEDA.py:199-226): token frequency via explode. */
   def tokenFrequency(df: DataFrame, c: String, topN: Int): DataFrame =
     df.select(explode(filter(split(lower(col(c)), "\\s+"), t => t =!= "")).as("token"))

@@ -350,11 +350,14 @@ object Matcher {
     hotBlockKeysDf(left, right, cfg, textCol).limit(100001)
       .collect().map(_.getString(0)).toSeq
 
-  /** DataFrame form of [[hotBlockKeys]] — never touches the driver, so
-    * the statistic can be written as a snapshot table at commit time
-    * and fed back via [[MatchConfig.knownHotKeysDf]] with no collect
-    * anywhere in the production path. */
-  def hotBlockKeysDf(
+  /** The full block-key histogram: per key, row counts on both sides
+    * and the candidate-pair volume the block join will emit. This is
+    * the per-snapshot statistic the scale story runs on — committed
+    * once at normalize time, it prices every subsequent match
+    * (Σ pairs = exact scored-pair count), exposes skew before the job
+    * runs, and its ≥saltHotPairs slice is the hot set the matcher
+    * salts. One shuffle per side on the key, map-side partial aggs. */
+  def blockHistogram(
       left: DataFrame, right: DataFrame, cfg: MatchConfig,
       textCol: String = "text"): DataFrame = {
     def keyed(df: DataFrame) = df
@@ -362,9 +365,19 @@ object Matcher {
       .groupBy("block_key").agg(count(lit(1)).as("n"))
     keyed(left).withColumnRenamed("n", "nl")
       .join(keyed(right).withColumnRenamed("n", "nr"), "block_key")
-      .filter(col("nl") * col("nr") >= cfg.saltHotPairs)
-      .select("block_key")
+      .withColumn("pairs", col("nl") * col("nr"))
   }
+
+  /** DataFrame form of [[hotBlockKeys]] — never touches the driver, so
+    * the statistic can be written as a snapshot table at commit time
+    * and fed back via [[MatchConfig.knownHotKeysDf]] with no collect
+    * anywhere in the production path. */
+  def hotBlockKeysDf(
+      left: DataFrame, right: DataFrame, cfg: MatchConfig,
+      textCol: String = "text"): DataFrame =
+    blockHistogram(left, right, cfg, textCol)
+      .filter(col("pairs") >= cfg.saltHotPairs)
+      .select("block_key")
 
   /** Index mode (match.py:155-165): positional 1:1 zip of the first
     * min(|L|,|R|) rows under an explicit stable ordering, score 1.0.
