@@ -347,9 +347,6 @@ object ExtraQueries {
       |       CAST(count(*) OVER (PARTITION BY lang, source) > 1 AS INT) AS is_dup
       |FROM documents
       |""".stripMargin,
-    // MinHash mirror of Dedup.mhMix: per-seed 60-bit xor constant, then
-    // the premasked xorshift steps — each stage its own list_transform
-    // so intermediates bind once (no md5 re-evaluation).
     // MinHash mirror of Dedup.mhMix (shared body above): per-seed
     // 60-bit xor constant, then the premasked xorshift steps.
     "d_minhash_pairs" -> minhashPairsSqlDuck,

@@ -250,7 +250,12 @@ object SparkEntry {
     // SAME full-match SQL as a_match_lev — the strongest check the
     // driver can run on an incremental path.
     "a_match_incr" -> ((s, dir) => {
-      val isOld = expr("CAST(regexp_extract(id, '([0-9]+)', 1) AS BIGINT) % 2 = 0")
+      // null-safe parity split: a digit-less id must still land in
+      // exactly one half (coalesce -> "new"), or filter(isOld) and
+      // filter(!isOld) would BOTH drop it and the incremental result
+      // would silently miss its matches vs the full-match oracle
+      val isOld = coalesce(
+        expr("CAST(regexp_extract(id, '([0-9]+)', 1) AS BIGINT) % 2 = 0"), lit(false))
       val l = addrNorm(AddressFixture.left(s, dir))
       val r = addrNorm(AddressFixture.rightAll(s, dir))
       val prior = Matcher.matchPairs(l.filter(isOld), r.filter(isOld), addrCfg,

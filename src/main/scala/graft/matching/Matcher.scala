@@ -300,7 +300,14 @@ object Matcher {
     * `priorMatches` must be the committed `matchPairs(leftOld,
     * rightOld, cfg)` result (left_id, right_id, score) under the SAME
     * config — a different threshold/scorer/blocking would make the
-    * summary argument above unsound. */
+    * summary argument above unsound.
+    *
+    * Robust to a REPLAYED increment (rows of leftNew/rightNew already
+    * present in the old side — the at-least-once delivery case): the
+    * union then carries the same pair from two subspaces, and the
+    * ranking dedups exact pair repeats before counting top-k slots
+    * (scores are deterministic, so repeats are identical rows; see
+    * [[rankTopKDistinct]] — adjacent-in-order, zero extra shuffle). */
   def matchPairsIncremental(
       leftOld: DataFrame,
       leftNew: DataFrame,
@@ -315,11 +322,28 @@ object Matcher {
       leftNew, rightOld.unionByName(rightNew), cfg, idCol, textCol, hasGeo)
     val oldVsNew = scoredPairs(
       leftOld, rightNew, cfg, idCol, textCol, hasGeo)
-    rankTopK(
+    rankTopKDistinct(
       priorMatches.select(col("left_id"), col("right_id"), col("score"))
         .unionByName(newVsAll)
         .unionByName(oldVsNew),
       cfg.topk)
+  }
+
+  /** [[rankTopK]] with an exact-pair dedup folded into the ranking
+    * window: a (left_id, right_id) repeat is identical-row by
+    * construction (deterministic scores), hence ADJACENT under the
+    * (score desc, right_id asc) window order — one `lag` over the same
+    * window spec spots it, so the dedup shares the ranking's exchange
+    * and sort instead of paying a `dropDuplicates` shuffle of its own. */
+  def rankTopKDistinct(scored: DataFrame, topk: Int): DataFrame = {
+    val w = Window.partitionBy(col("left_id"))
+      .orderBy(col("score").desc, col("right_id").asc)
+    scored
+      .withColumn("__rep", lag(col("right_id"), 1).over(w) === col("right_id"))
+      .filter(col("__rep").isNull || !col("__rep"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topk)
+      .select(col("left_id"), col("right_id"), col("score"))
   }
 
   /** Write a side as a parquet table BUCKETED (and sorted) by its

@@ -32,19 +32,27 @@ object StreamingNormalize {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("win_start"), col("tool_norm"), col("cnt"))
 
-  /** Streaming exact dedup of turns at ingest (D1's streaming face):
-    * `dropDuplicatesWithinWatermark` keyed on the turn identity. State
-    * for a key is dropped once the event-time watermark passes it, so
-    * state size tracks the in-flight delay window — NOT the corpus —
-    * the only shape that survives a 10^12-turn stream (an unbounded
-    * `dropDuplicates` would pin every key ever seen in the state
-    * store). Duplicates arriving within `delay` of the original are
-    * suppressed; re-deliveries older than the watermark are the batch
-    * dedup stage's job downstream. */
-  def dedupTurnsStream(turns: DataFrame, delay: String = "10 minutes"): DataFrame =
+  /** Streaming KEYED dedup of turns at ingest:
+    * `dropDuplicatesWithinWatermark` on the turn identity (the input
+    * hint's stable (conv_id, turn_idx) key by default) — first
+    * delivery wins, later re-deliveries of the same key within `delay`
+    * are dropped even if their payload differs. That is deliberately
+    * STRONGER than batch D1's full-row distinct: at-least-once
+    * transports re-send the same turn identity, and two payloads under
+    * one identity is a producer bug the stable-ordering invariant
+    * forbids. Callers that do want the exact streaming face of D1 pass
+    * `keys = all columns`. State for a key is dropped once the
+    * event-time watermark passes it, so state size tracks the
+    * in-flight delay window — NOT the corpus — the only shape that
+    * survives a 10^12-turn stream (an unbounded `dropDuplicates`
+    * would pin every key ever seen in the state store). */
+  def dedupTurnsStream(
+      turns: DataFrame,
+      delay: String = "10 minutes",
+      keys: Seq[String] = Seq("conv_id", "turn_idx")): DataFrame =
     turns
       .withWatermark("ts", delay)
-      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+      .dropDuplicatesWithinWatermark(keys)
 
   case class ConvState(turns: List[(Int, String)])
   case class ConvDoc(conv_id: String, n_turns: Int, doc: String)

@@ -85,6 +85,16 @@ class MatcherSpec extends SparkSpec {
       idCol = "id", textCol = "address_norm", hasGeo = true)
     assert(full.exceptAll(incrEmpty).count() == 0 &&
       incrEmpty.exceptAll(full).count() == 0)
+    // REPLAYED increment (at-least-once delivery): rows already in the
+    // old side re-arrive in the new batch — the pair-repeat dedup in
+    // the ranking must keep the result identical to the full match
+    val replayed = Matcher.matchPairsIncremental(
+      left.filter(isOld), left.filter(not(isOld)),
+      right.filter(isOld),
+      right.filter(not(isOld)).unionByName(right.filter(isOld).limit(20)),
+      prior, c, idCol = "id", textCol = "address_norm", hasGeo = true)
+    assert(full.exceptAll(replayed).count() == 0 &&
+      replayed.exceptAll(full).count() == 0)
   }
 
   test("transitive clustering recovers latent entities (size-3 clusters)") {
