@@ -7,6 +7,10 @@ import org.apache.spark.sql.functions._
   * fix's effect at any SF without running the whole bench). */
 object AnnTime {
   def main(args: Array[String]): Unit = {
+    // halt(0) below skips Spark's disk-cleanup shutdown hooks, so each
+    // run leaks blockmgr-*/spark-* scratch; sweep prior runs' leftovers
+    // at startup exactly like Bench does (same liveness-gated sweep)
+    Bench.sweepStaleTemp()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val s = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")

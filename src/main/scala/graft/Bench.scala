@@ -180,21 +180,24 @@ object Bench {
     * at-a-time environment and the fact that idle sessions hold no
     * in-flight jobs, the remaining risk is a re-read of an unpersisted
     * cache — recomputable — not lost shuffle state.) */
-  private def sweepStaleTemp(): Unit =
+  private[graft] def sweepStaleTemp(): Unit =
     try {
       import scala.jdk.CollectionConverters._
       val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       val staleMs = System.currentTimeMillis() - 3600L * 1000
-      def maxMtime(p: java.nio.file.Path): Long =
+      // short-circuits on the FIRST fresh mtime: a big live blockmgr
+      // tree (tens of thousands of block files) is exactly the one we
+      // must not stat exhaustively on every bench start
+      def anyFresh(p: java.nio.file.Path): Boolean =
         try {
-          val self = java.nio.file.Files.getLastModifiedTime(p).toMillis
-          if (!java.nio.file.Files.isDirectory(p)) self
+          if (java.nio.file.Files.getLastModifiedTime(p).toMillis >= staleMs) true
+          else if (!java.nio.file.Files.isDirectory(p)) false
           else {
             val kids = java.nio.file.Files.list(p)
-            try (self +: kids.iterator().asScala.map(maxMtime).toSeq).max
+            try kids.iterator().asScala.exists(anyFresh)
             finally kids.close()
           }
-        } catch { case _: Exception => Long.MaxValue } // unreadable => live
+        } catch { case _: Exception => true } // unreadable => live
       def sweep(dir: java.nio.file.Path): Unit =
         if (java.nio.file.Files.isDirectory(dir))
           java.nio.file.Files.list(dir).iterator().asScala.foreach { p =>
@@ -202,7 +205,7 @@ object Bench {
             val ours = n.startsWith("graft-scaling") ||
               (n.startsWith("graft-leg") && n.endsWith(".out"))
             val sparkScratch = (n.startsWith("blockmgr-") || n.startsWith("spark-")) &&
-              n != "spark-local" && maxMtime(p) < staleMs
+              n != "spark-local" && !anyFresh(p)
             if (ours || sparkScratch) deleteRecursively(p)
           }
       sweep(tmp)
@@ -832,6 +835,20 @@ object Bench {
       try runScaling(dir) catch { case e: Exception =>
         state.synchronized { state.notes += "scaling_failed" }
         progress(s"scaling FAILED: ${e.getMessage}")
+        // the headline throughput must not be single-pointed on the
+        // scaling prep: if the phase died before its quick probe landed
+        // (e.g. the replica-corpus parquet write failed), fall back to
+        // the independent in-session measurement
+        if (state.synchronized(state.throughput.isEmpty) && remainingSec > 180)
+          try {
+            val (c, sec, rate) =
+              withSession(cpus)(matchThroughput(_, dir, warm = false, runs = 1))
+            state.synchronized { state.throughput = Some((c, sec, rate)) }
+            progress(f"throughput fallback: $c%d pairs in $sec%.1fs = $rate%.0f pairs/sec")
+          } catch { case e2: Exception =>
+            state.synchronized { state.notes += "throughput_failed" }
+            progress(s"throughput fallback FAILED: ${e2.getMessage}")
+          }
       }
     }
 

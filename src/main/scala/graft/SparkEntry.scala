@@ -251,11 +251,13 @@ object SparkEntry {
     // driver can run on an incremental path.
     "a_match_incr" -> ((s, dir) => {
       // null-safe parity split: a digit-less id must still land in
-      // exactly one half (coalesce -> "new"), or filter(isOld) and
-      // filter(!isOld) would BOTH drop it and the incremental result
-      // would silently miss its matches vs the full-match oracle
+      // exactly one half (try_cast('') -> null, coalesce -> "new"), or
+      // filter(isOld) and filter(!isOld) would BOTH drop it and the
+      // incremental result would silently miss its matches vs the
+      // full-match oracle. try_cast, not CAST: under Spark 4's default
+      // ANSI mode CAST('' AS BIGINT) throws instead of yielding null.
       val isOld = coalesce(
-        expr("CAST(regexp_extract(id, '([0-9]+)', 1) AS BIGINT) % 2 = 0"), lit(false))
+        expr("try_cast(regexp_extract(id, '([0-9]+)', 1) AS BIGINT) % 2 = 0"), lit(false))
       val l = addrNorm(AddressFixture.left(s, dir))
       val r = addrNorm(AddressFixture.rightAll(s, dir))
       val prior = Matcher.matchPairs(l.filter(isOld), r.filter(isOld), addrCfg,

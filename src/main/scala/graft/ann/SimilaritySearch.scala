@@ -115,12 +115,20 @@ object SimilaritySearch {
     * form becomes its bottleneck. Output is bit-identical to
     * [[lshBucket]] for vectors of exactly `dims` elements (the planes
     * are the same constants, the projection the same left-to-right
-    * sum); callers with mixed-length vectors keep the dynamic form. */
-  def lshBucketStatic(vec: Column, bits: Int, dims: Int): Column =
-    Seq.tabulate(bits) { p =>
+    * sum); callers with mixed-length vectors keep the dynamic form.
+    * A vector whose length is NOT `dims` fails loudly (raise_error)
+    * instead of silently collapsing into bucket 0 — the null dot
+    * product would otherwise turn every mismatched row into one hot
+    * bucket and quietly diverge from [[lshBucket]]. */
+  def lshBucketStatic(vec: Column, bits: Int, dims: Int): Column = {
+    val bucket = Seq.tabulate(bits) { p =>
       val plane = typedLit(Seq.tabulate(dims)(i => planeComponentConst(p, i)))
       when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+    when(size(vec) === dims, bucket).otherwise(raise_error(concat(
+      lit(s"lshBucketStatic: expected $dims-dim vector, got "),
+      size(vec).cast("string"))).cast("long"))
+  }
 
   /** IVF (inverted-file) ANN: the corpus is partitioned into inverted
     * lists keyed by the nearest centroid; a query probes only the

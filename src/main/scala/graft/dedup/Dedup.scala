@@ -202,10 +202,14 @@ object Dedup {
     *
     * Scale shape: pairs are bucketed (never all-pairs), CC is O(log n)
     * rounds of two shuffles each, the final assembly is one left join
-    * on doc id. The CC result is an eager localCheckpoint pinned in
-    * executor storage — callers that loop (re-dedup per snapshot in a
-    * long session) should free the returned frame's blocks via
-    * [[graft.util.CheckpointHygiene]] after the kept set is committed,
+    * on doc id. Storage hygiene: the CC intermediate (an eager
+    * localCheckpoint [[graft.cluster.ConnectedComponents.run]] returns
+    * pinned in executor storage) is FREED here — the returned frame is
+    * itself eagerly checkpointed first, which truncates its lineage
+    * past the CC blocks, so per call exactly one narrow
+    * (doc_id, cluster_id, kept) frame stays pinned and callers that
+    * loop (re-dedup per snapshot in a long session) release it with
+    * `CheckpointHygiene.free(result)` once the kept set is committed,
     * exactly as [[graft.pipeline.Pipeline]] does for clusters. */
   def nearDupClusters(
       df: DataFrame,
@@ -217,13 +221,16 @@ object Dedup {
       jaccardThreshold: Double = 0.6): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, k, numHashes, bands, jaccardThreshold)
     val cc = graft.cluster.ConnectedComponents.run(pairs, "id_a", "id_b")
-    df.select(col(idCol).as("doc_id"))
+    val out = df.select(col(idCol).as("doc_id"))
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"),
         (coalesce(col("component"), col("doc_id")) === col("doc_id"))
           .cast("int").as("kept"))
+      .localCheckpoint(true)
+    graft.util.CheckpointHygiene.free(cc)
+    out
   }
 
   // -- SimHash -------------------------------------------------------------

@@ -305,9 +305,9 @@ object Matcher {
     * Robust to a REPLAYED increment (rows of leftNew/rightNew already
     * present in the old side — the at-least-once delivery case): the
     * union then carries the same pair from two subspaces, and the
-    * ranking dedups exact pair repeats before counting top-k slots
-    * (scores are deterministic, so repeats are identical rows; see
-    * [[rankTopKDistinct]] — adjacent-in-order, zero extra shuffle). */
+    * ranking dedups pair repeats before counting top-k slots — even
+    * score-divergent repeats from an upserted payload collapse to one
+    * slot (see [[rankTopKDistinct]]; zero extra shuffle). */
   def matchPairsIncremental(
       leftOld: DataFrame,
       leftNew: DataFrame,
@@ -329,19 +329,30 @@ object Matcher {
       cfg.topk)
   }
 
-  /** [[rankTopK]] with an exact-pair dedup folded into the ranking
-    * window: a (left_id, right_id) repeat is identical-row by
-    * construction (deterministic scores), hence ADJACENT under the
-    * (score desc, right_id asc) window order — one `lag` over the same
-    * window spec spots it, so the dedup shares the ranking's exchange
-    * and sort instead of paying a `dropDuplicates` shuffle of its own. */
+  /** [[rankTopK]] with a per-pair dedup folded into the ranking's
+    * exchange: rows are first ordered by (right_id asc, score desc)
+    * within each left_id partition, where ALL repeats of a
+    * (left_id, right_id) pair are adjacent — whether byte-identical
+    * (the at-least-once replay case) or score-divergent (an upsert
+    * that changed a row's payload between the prior match and the
+    * increment) — and one `lag` keeps only the best-scored occurrence
+    * per pair. Ranking then runs under the usual (score desc,
+    * right_id asc) order. Both windows share the left_id partitioning,
+    * so the dedup costs one extra in-partition sort, never a
+    * `dropDuplicates` shuffle of its own. For exact replays
+    * (deterministic scores) this is provably identical to ranking the
+    * distinct input; for upserts it guarantees each pair consumes at
+    * most one top-k slot (which score survives is the caller's
+    * contract — re-commit priorMatches if old scores must not win). */
   def rankTopKDistinct(scored: DataFrame, topk: Int): DataFrame = {
-    val w = Window.partitionBy(col("left_id"))
+    val wDedup = Window.partitionBy(col("left_id"))
+      .orderBy(col("right_id").asc, col("score").desc)
+    val wRank = Window.partitionBy(col("left_id"))
       .orderBy(col("score").desc, col("right_id").asc)
     scored
-      .withColumn("__rep", lag(col("right_id"), 1).over(w) === col("right_id"))
+      .withColumn("__rep", lag(col("right_id"), 1).over(wDedup) === col("right_id"))
       .filter(col("__rep").isNull || !col("__rep"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= topk)
       .select(col("left_id"), col("right_id"), col("score"))
   }

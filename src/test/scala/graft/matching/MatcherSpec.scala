@@ -97,6 +97,23 @@ class MatcherSpec extends SparkSpec {
       replayed.exceptAll(full).count() == 0)
   }
 
+  test("rankTopKDistinct collapses score-divergent pair repeats to one slot") {
+    // upsert shape: the same (left, right) pair scored under two payload
+    // versions — non-adjacent under the score ordering, adjacent under
+    // the dedup ordering; the pair must consume exactly ONE top-k slot
+    // (best score survives) so a legit third match is not displaced
+    val scored = spark.createDataFrame(Seq(
+      ("l1", "rA", 0.95), ("l1", "rB", 0.90), ("l1", "rA", 0.70),
+      ("l1", "rC", 0.60), ("l2", "rA", 0.80)
+    )).toDF("left_id", "right_id", "score")
+    val got = Matcher.rankTopKDistinct(scored, topk = 3)
+      .orderBy("left_id", "right_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("l1", "rA", 0.95), ("l1", "rB", 0.90), ("l1", "rC", 0.60),
+      ("l2", "rA", 0.80)))
+  }
+
   test("transitive clustering recovers latent entities (size-3 clusters)") {
     val left = norm(AddressFixture.left(spark, sf0001))
     val right = norm(AddressFixture.rightAll(spark, sf0001))

@@ -67,6 +67,15 @@ class VectorOpsSpec extends SparkSpec {
     assert(java.lang.Double.doubleToRawLongBits(sparkPlane) ==
       java.lang.Double.doubleToRawLongBits(
         graft.ann.SimilaritySearch.planeComponentConst(3, 17)))
+    // a vector of the WRONG dimensionality must fail loudly, not
+    // silently collapse into bucket 0 via the null dot product
+    val bad = spark.createDataFrame(Seq(Tuple1(Seq(1.0, 2.0, 3.0))))
+      .toDF("e")
+    val err = intercept[Exception] {
+      bad.select(lshBucketStatic(col("e"), 6, 64)).collect()
+    }
+    assert(err.getMessage.contains("lshBucketStatic") ||
+      Option(err.getCause).exists(_.getMessage.contains("lshBucketStatic")))
   }
 
   test("ANN scored plan keeps the dot product inside whole-stage codegen") {
