@@ -269,6 +269,21 @@ object SparkEntry {
     }),
     // Transitive clustering — large-star/small-star connected components.
     "a_clusters" -> ((s, dir) => addrClusters(s, dir)),
+    // Incremental clustering: the committed match pairs split into a
+    // prior batch and an increment by a deterministic pair hash; the
+    // prior batch is clustered, committed as (id, component), and the
+    // increment is folded in via the star-contraction union
+    // (ConnectedComponents.runIncremental scaladoc proves the result
+    // equals clustering ALL edges, so the oracle is a_clusters' SQL
+    // verbatim — the strongest check an incremental path can get).
+    "a_clusters_incr" -> ((s, dir) => {
+      val edges = addrMatchLev(s, dir)
+      val inPrior = pmod(hash(col("left_id"), col("right_id")), lit(2)) === 0
+      val prior = ConnectedComponents.run(
+        edges.filter(inPrior), "left_id", "right_id")
+      ConnectedComponents.runIncremental(
+        prior, edges.filter(not(inPrior)), "left_id", "right_id")
+    }),
     // Index mode (J14): positional zip join.
     "a_match_index" -> ((s, dir) =>
       Matcher.matchIndex(AddressFixture.left(s, dir), AddressFixture.right(s, dir, 1))),
@@ -357,6 +372,23 @@ object SparkEntry {
     // incremental == full (see the queries entry), so the oracle is
     // the full-match SQL verbatim
     "a_match_incr" -> withAddrCtes(s"SELECT * FROM ($addrMatchBody)"),
+    // incremental == full (star-contraction argument in the
+    // runIncremental scaladoc), so the oracle is a_clusters' verbatim
+    "a_clusters_incr" -> withAddrCtes(
+      s"""
+         |, m AS ($addrMatchBody),
+         |edges AS (SELECT left_id AS u, right_id AS v FROM m
+         |          UNION SELECT right_id, left_id FROM m),
+         |verts AS (SELECT DISTINCT u AS id FROM edges)
+         |SELECT id, component FROM (
+         |  WITH RECURSIVE reach(id, r) AS (
+         |    SELECT id, id FROM verts
+         |    UNION
+         |    SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+         |  )
+         |  SELECT id, min(r) AS component FROM reach GROUP BY id
+         |)
+         |""".stripMargin),
     "a_clusters" -> withAddrCtes(
       s"""
          |, m AS ($addrMatchBody),

@@ -249,4 +249,45 @@ object ConnectedComponents {
     hygiene.releaseAll()
     result
   }
+
+  /** Incremental transitive clustering over a COMMITTED components
+    * snapshot — the companion to
+    * [[graft.matching.Matcher.matchPairsIncremental]]: when a new batch
+    * of match edges lands, re-clustering the full edge history is
+    * O(|E_all|); this is O(|V_old| + |E_new|).
+    *
+    * Correctness: a component is fully connected through its root, so
+    * the prior snapshot's (id, component) STAR EDGES have exactly the
+    * same transitive closure as every edge ever folded into it —
+    * replacing the old edge set by its star contraction preserves the
+    * connectivity relation, hence
+    * `run(star(run(E1)) ∪ E2) = run(E1 ∪ E2)` with identical min-id
+    * component labels (the star keeps every old vertex, including
+    * singletons as self-loops, which [[run]]'s vertex derivation
+    * retains as isolated nodes).
+    *
+    * Scale shape: the star set carries one row per OLD VERTEX instead
+    * of one per old edge, and the untouched subgraph is already one
+    * round from convergence (stars are large-star/small-star fixed
+    * points), so rounds are driven by the increment's diameter, not
+    * the corpus's. `priorComponents` must be the committed
+    * `run`/`runIncremental` output over ALL previously-folded edges —
+    * feeding a partial snapshot silently under-merges.
+    *
+    * @param priorComponents committed (id, component) snapshot
+    * @param newEdges the increment's edges (srcCol, dstCol)
+    */
+  def runIncremental(
+      priorComponents: DataFrame,
+      newEdges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIter: Int = 25,
+      checkpoint: Option[CcCheckpoint] = None,
+      checkEvery: Int = 1): DataFrame =
+    run(
+      priorComponents.select(col("id").as("u"), col("component").as("v"))
+        .unionByName(
+          newEdges.select(col(srcCol).as("u"), col(dstCol).as("v"))),
+      "u", "v", maxIter, checkpoint, checkEvery)
 }

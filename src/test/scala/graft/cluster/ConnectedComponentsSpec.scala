@@ -61,6 +61,40 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: incremental fold over a prior snapshot equals full clustering") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(2, 60)
+      es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+      splits <- Gen.listOfN(m, Gen.oneOf(true, false))
+    } yield (es, splits)
+    val prop = Prop.forAllNoShrink(gen) { case (es, splits) =>
+      val edges = es.filter { case (a, b) => a != b }
+      if (edges.isEmpty) true
+      else {
+        def df(e: Seq[(Int, Int)]) = e.toDF("src", "dst")
+          .selectExpr("CAST(src AS STRING) AS src", "CAST(dst AS STRING) AS dst")
+        val (e1, e2) = edges.zip(splits).partition(_._2)
+        try {
+          val full = ConnectedComponents.run(df(edges))
+            .collect().map(r => (r.getString(0), r.getString(1))).toSet
+          val prior = ConnectedComponents.run(df(
+            if (e1.isEmpty) edges.take(1) else e1.map(_._1)))
+          val incr = ConnectedComponents.runIncremental(
+            prior, df(if (e1.isEmpty) edges.drop(1) else e2.map(_._1)))
+            .collect().map(r => (r.getString(0), r.getString(1))).toSet
+          // exact (id, component) equality, not just partition shape:
+          // the star contraction must preserve min-id labels too
+          incr == full
+        } finally dropPersisted()
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("deterministic: long chain + star + isolated self-loop") {
     import spark.implicits._
     // chain 0-1-2-...-9 (diameter stress), star 20<-21..25, self-loop 30
