@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.io.TableIO
+import graft.matching.{MatchConfig, Matcher}
+import graft.cluster.ConnectedComponents
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming entity resolution: a stream of right-side rows folded,
+  * micro-batch by micro-batch, into two committed snapshot tables —
+  * the capstone composition of this round's incremental operators:
+  *
+  *   - `matches`: the current top-k linkage view. Per batch the new
+  *     rows are scored against the (static, committed) left side and
+  *     re-ranked together with the prior snapshot —
+  *     [[Matcher.matchPairsIncremental]] with an empty left increment,
+  *     so after the stream drains the table PROVABLY equals the batch
+  *     `matchPairs(left, allRights)` (subset-rank argument in that
+  *     scaladoc; pair replays collapse via
+  *     [[Matcher.rankTopKDistinct]]).
+  *   - `clusters`: transitive entities over every accepted
+  *     (thresholded) scored pair ever seen, folded with
+  *     [[ConnectedComponents.runIncremental]]'s star-contraction
+  *     union. Clustering is MONOTONE-MERGE by design: a later,
+  *     better-scoring match can evict a pair from the top-k `matches`
+  *     view but never unmerges an entity — the standard ER
+  *     accumulate-evidence semantics (you can't un-ship a merge
+  *     downstream), and the shape incremental CC is exact for. The
+  *     batch equivalent is CC over `scoredPairs(left, allRights)`,
+  *     NOT over the top-k'd match result.
+  *
+  * Scale shape: per batch the work is O(left-block ∩ batch) scoring +
+  * one re-rank over (top-k snapshot ∪ batch scores) + CC rounds driven
+  * by the batch's diameter (the untouched entity graph enters as star
+  * edges, one round from convergence). Nothing rescans the right-side
+  * history; state lives in committed snapshots (resumable, atomic),
+  * not in executor memory — the only shape that survives an unbounded
+  * stream. Exactly-once to the snapshot tables comes from the manifest
+  * lineage: a replayed batch id re-commits idempotent content (pair
+  * dedup + CC idempotence), never double-counts. */
+object StreamingLink {
+
+  /** Fold ONE micro-batch of right rows into the `matches` and
+    * `clusters` snapshot tables under `root`. Exposed separately from
+    * the stream wiring so batch backfills and tests drive the exact
+    * code the sink runs. */
+  def foldBatch(
+      batch: DataFrame,
+      left: DataFrame,
+      cfg: MatchConfig,
+      root: String,
+      idCol: String = "id",
+      textCol: String = "text",
+      hasGeo: Boolean = false,
+      batchId: Long = 0L): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val scored = Matcher
+      .scoredPairs(left, batch, cfg, idCol, textCol, hasGeo)
+      .select(col("left_id"), col("right_id"), col("score"))
+
+    // scored feeds both tables below — cut the plan once so the block
+    // join runs one time per batch, not once per sink table
+    val scoredMat = scored.localCheckpoint(true)
+
+    val matches = TableIO.latestSnapshotId(root, "matches") match {
+      case Some(_) =>
+        Matcher.rankTopKDistinct(
+          TableIO.readTable(spark, root, "matches").unionByName(scoredMat),
+          cfg.topk)
+      case None => Matcher.rankTopKDistinct(scoredMat, cfg.topk)
+    }
+    TableIO.commitSnapshot(matches, root, "matches",
+      Map("stage" -> "matches", "batch" -> batchId.toString))
+
+    val clusters = TableIO.latestSnapshotId(root, "clusters") match {
+      case Some(_) =>
+        ConnectedComponents.runIncremental(
+          TableIO.readTable(spark, root, "clusters"), scoredMat,
+          "left_id", "right_id")
+      case None =>
+        ConnectedComponents.run(scoredMat, "left_id", "right_id")
+    }
+    TableIO.commitSnapshot(clusters, root, "clusters",
+      Map("stage" -> "clusters", "batch" -> batchId.toString))
+    // the snapshots are the durable copies — release the eager
+    // checkpoints so an unbounded stream doesn't pin one CC result +
+    // one scored batch in executor storage per micro-batch
+    graft.util.CheckpointHygiene.free(clusters)
+    graft.util.CheckpointHygiene.free(scoredMat)
+  }
+
+  /** Wire a streaming right-side source into [[foldBatch]]. */
+  def incrementalLinkSink(
+      rightStream: DataFrame,
+      left: DataFrame,
+      cfg: MatchConfig,
+      root: String,
+      checkpointDir: String,
+      idCol: String = "id",
+      textCol: String = "text",
+      hasGeo: Boolean = false): StreamingQuery = {
+    val fold: (Dataset[Row], Long) => Unit = (batch, id) =>
+      foldBatch(batch.toDF(), left, cfg, root, idCol, textCol, hasGeo, id)
+    rightStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(fold)
+      .start()
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cluster.ConnectedComponents
+import graft.fixtures.AddressFixture
+import graft.io.TableIO
+import graft.matching.{MatchConfig, Matcher}
+import graft.normalize.Normalizer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class RightRow(id: String, address: String)
+
+/** End-to-end: streaming incremental linkage over micro-batches lands
+  * exactly the batch result — matches (top-k view, incremental rank)
+  * and clusters (monotone merge, incremental CC) — and a replayed
+  * batch is a no-op on the committed state. */
+class StreamingLinkSpec extends SparkSpec {
+
+  private def norm(df: DataFrame): DataFrame =
+    df.withColumn("address_norm", Normalizer.normalizeAddress(col("address")))
+
+  private val cfg = MatchConfig(
+    scorer = "token_set_ratio", threshold = 70, topk = 3,
+    blockBy = "digits+prefix6", wText = 0.8, wDigits = 0.2, wGeo = 0.0)
+
+  test("streamed micro-batches drain to the exact batch matches + clusters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_slink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_slink_ck").toString
+
+    val left = norm(AddressFixture.left(spark, sf0001))
+    val rightAll = AddressFixture.rightAll(spark, sf0001)
+    val rows = rightAll.select("id", "address").collect()
+      .map(r => RightRow(r.getString(0), r.getString(1)))
+
+    val mem = MemoryStream[RightRow]
+    val q = StreamingLink.incrementalLinkSink(
+      norm(mem.toDF()), left, cfg, root, ckpt,
+      idCol = "id", textCol = "address_norm")
+    try {
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // at-least-once replay of the first batch: state must not change
+      val before = (TableIO.latestSnapshotId(root, "matches").get,
+        TableIO.readTable(spark, root, "matches").count(),
+        TableIO.readTable(spark, root, "clusters").count())
+      mem.addData(rows.take(rows.length / 3 + 1).toSeq: _*)
+      q.processAllAvailable()
+      assert(TableIO.latestSnapshotId(root, "matches").get > before._1)
+    } finally q.stop()
+
+    val expectedM = Matcher.matchPairs(left, norm(rightAll), cfg,
+      idCol = "id", textCol = "address_norm")
+    val gotM = TableIO.readTable(spark, root, "matches")
+    assert(gotM.exceptAll(expectedM).count() == 0 &&
+      expectedM.exceptAll(gotM).count() == 0,
+      "streamed matches != batch matchPairs")
+
+    // monotone-merge semantics: clusters over ALL accepted scored
+    // pairs (not the top-k'd view) — see StreamingLink scaladoc
+    val expectedC = ConnectedComponents.run(
+      Matcher.scoredPairs(left, norm(rightAll), cfg,
+        idCol = "id", textCol = "address_norm"), "left_id", "right_id")
+    val gotC = TableIO.readTable(spark, root, "clusters")
+    assert(gotC.exceptAll(expectedC).count() == 0 &&
+      expectedC.exceptAll(gotC).count() == 0,
+      "streamed clusters != batch CC over accepted pairs")
+  }
+}
