@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
 object AnnTime {
   def main(args: Array[String]): Unit = {
     // halt(0) below skips Spark's disk-cleanup shutdown hooks, so each
-    // run leaks blockmgr-*/spark-* scratch; sweep prior runs' leftovers
-    // at startup exactly like Bench does (same liveness-gated sweep)
-    Bench.sweepStaleTemp()
+    // run leaks blockmgr-*/spark-* scratch; sweep prior runs' stale
+    // Spark dirs at startup. includeOurs=false: a concurrent in-flight
+    // Bench owns the graft-scaling*/graft-leg* artifacts — only the
+    // bench itself may delete those ungated.
+    Bench.sweepStaleTemp(includeOurs = false)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val s = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")

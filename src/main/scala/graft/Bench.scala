@@ -179,8 +179,15 @@ object Bench {
     * an-hour session could still be hit; combined with the one-bench-
     * at-a-time environment and the fact that idle sessions hold no
     * in-flight jobs, the remaining risk is a re-read of an unpersisted
-    * cache — recomputable — not lost shuffle state.) */
-  private[graft] def sweepStaleTemp(): Unit =
+    * cache — recomputable — not lost shuffle state.)
+    *
+    * `includeOurs = true` additionally deletes this bench's own
+    * artifact names ("graft-scaling" dirs, "graft-leg" out files)
+    * UNGATED — safe only from the owning Bench process at its own
+    * startup (one bench at a time). Other diagnostics (AnnTime) must
+    * pass false, or a concurrent in-flight bench loses its live
+    * prepped corpus. */
+  private[graft] def sweepStaleTemp(includeOurs: Boolean = true): Unit =
     try {
       import scala.jdk.CollectionConverters._
       val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
@@ -202,8 +209,8 @@ object Bench {
         if (java.nio.file.Files.isDirectory(dir))
           java.nio.file.Files.list(dir).iterator().asScala.foreach { p =>
             val n = p.getFileName.toString
-            val ours = n.startsWith("graft-scaling") ||
-              (n.startsWith("graft-leg") && n.endsWith(".out"))
+            val ours = includeOurs && (n.startsWith("graft-scaling") ||
+              (n.startsWith("graft-leg") && n.endsWith(".out")))
             val sparkScratch = (n.startsWith("blockmgr-") || n.startsWith("spark-")) &&
               n != "spark-local" && !anyFresh(p)
             if (ours || sparkScratch) deleteRecursively(p)
@@ -835,21 +842,22 @@ object Bench {
       try runScaling(dir) catch { case e: Exception =>
         state.synchronized { state.notes += "scaling_failed" }
         progress(s"scaling FAILED: ${e.getMessage}")
-        // the headline throughput must not be single-pointed on the
-        // scaling prep: if the phase died before its quick probe landed
-        // (e.g. the replica-corpus parquet write failed), fall back to
-        // the independent in-session measurement
-        if (state.synchronized(state.throughput.isEmpty) && remainingSec > 180)
-          try {
-            val (c, sec, rate) =
-              withSession(cpus)(matchThroughput(_, dir, warm = false, runs = 1))
-            state.synchronized { state.throughput = Some((c, sec, rate)) }
-            progress(f"throughput fallback: $c%d pairs in $sec%.1fs = $rate%.0f pairs/sec")
-          } catch { case e2: Exception =>
-            state.synchronized { state.notes += "throughput_failed" }
-            progress(s"throughput fallback FAILED: ${e2.getMessage}")
-          }
       }
+      // the headline throughput must not be single-pointed on the
+      // scaling phase — and the empty-throughput cases are mostly
+      // NON-throwing (quick probe skipped on a tight budget, or failed
+      // inside its own catch), so this runs after the try/catch, gated
+      // only on the measurement actually missing
+      if (state.synchronized(state.throughput.isEmpty) && remainingSec > 180)
+        try {
+          val (c, sec, rate) =
+            withSession(cpus)(matchThroughput(_, dir, warm = false, runs = 1))
+          state.synchronized { state.throughput = Some((c, sec, rate)) }
+          progress(f"throughput fallback: $c%d pairs in $sec%.1fs = $rate%.0f pairs/sec")
+        } catch { case e2: Exception =>
+          state.synchronized { state.notes += "throughput_failed" }
+          progress(s"throughput fallback FAILED: ${e2.getMessage}")
+        }
     }
 
     progress("done, emitting")

@@ -277,12 +277,20 @@ object SparkEntry {
     // equals clustering ALL edges, so the oracle is a_clusters' SQL
     // verbatim — the strongest check an incremental path can get).
     "a_clusters_incr" -> ((s, dir) => {
-      val edges = addrMatchLev(s, dir)
+      // materialize the match ONCE: both CC calls filter it, and each
+      // would otherwise re-run the full salted block join (the most
+      // expensive plan in the suite) for its own raw-edge checkpoint
+      val edges = addrMatchLev(s, dir).localCheckpoint(true)
       val inPrior = pmod(hash(col("left_id"), col("right_id")), lit(2)) === 0
       val prior = ConnectedComponents.run(
         edges.filter(inPrior), "left_id", "right_id")
-      ConnectedComponents.runIncremental(
+      val out = ConnectedComponents.runIncremental(
         prior, edges.filter(not(inPrior)), "left_id", "right_id")
+      // out is eagerly checkpointed by run(); the intermediates are
+      // dead weight in executor storage from here on
+      graft.util.CheckpointHygiene.free(prior)
+      graft.util.CheckpointHygiene.free(edges)
+      out
     }),
     // Index mode (J14): positional zip join.
     "a_match_index" -> ((s, dir) =>

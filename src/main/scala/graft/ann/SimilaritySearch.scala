@@ -119,15 +119,20 @@ object SimilaritySearch {
     * A vector whose length is NOT `dims` fails loudly (raise_error)
     * instead of silently collapsing into bucket 0 — the null dot
     * product would otherwise turn every mismatched row into one hot
-    * bucket and quietly diverge from [[lshBucket]]. */
+    * bucket and quietly diverge from [[lshBucket]]. A NULL vector maps
+    * to a NULL bucket (it can't be hashed, so it joins nothing —
+    * bucket-equality joins drop it), not to an error: null rows are a
+    * data condition, wrong dimensionality is a caller bug. */
   def lshBucketStatic(vec: Column, bits: Int, dims: Int): Column = {
     val bucket = Seq.tabulate(bits) { p =>
       val plane = typedLit(Seq.tabulate(dims)(i => planeComponentConst(p, i)))
       when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    when(size(vec) === dims, bucket).otherwise(raise_error(concat(
-      lit(s"lshBucketStatic: expected $dims-dim vector, got "),
-      size(vec).cast("string"))).cast("long"))
+    when(vec.isNull, lit(null).cast("long"))
+      .when(size(vec) === dims, bucket)
+      .otherwise(raise_error(concat(
+        lit(s"lshBucketStatic: expected $dims-dim vector, got "),
+        size(vec).cast("string"))).cast("long"))
   }
 
   /** IVF (inverted-file) ANN: the corpus is partitioned into inverted

@@ -143,6 +143,30 @@ object TableIO {
       } finally pool.shutdown()
     }
 
+  /** Iceberg-style snapshot expiry: delete all but the newest
+    * `keepLast` committed snapshots of `table`. Readers only ever
+    * resolve the LATEST snapshot (readTable/latestSnapshotId), so
+    * expiring older ones is safe for them by construction; callers
+    * that pin an older snapshot id for time travel own their retention
+    * window. Without expiry a per-micro-batch committer grows disk
+    * O(batches × state) — this is the pruning hook an unbounded stream
+    * needs. Returns the expired snapshot ids. */
+  def expireSnapshots(root: String, table: String, keepLast: Int = 2): Seq[Long] = {
+    val all = snapshots(root, table)
+    val expire = all.dropRight(math.max(1, keepLast))
+    expire.foreach { id =>
+      val dir = snapshotPath(root, table, id)
+      // manifest first: a concurrently-starting reader treats a
+      // manifest-less dir as uncommitted and skips it
+      Files.deleteIfExists(dir.resolve("manifest.json"))
+      if (Files.isDirectory(dir)) {
+        Files.list(dir).iterator().asScala.foreach(Files.deleteIfExists(_))
+        Files.deleteIfExists(dir)
+      }
+    }
+    expire
+  }
+
   /** Read the latest committed snapshot of a table. */
   def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
     val id = latestSnapshotId(root, table).getOrElse(

@@ -53,7 +53,8 @@ object StreamingLink {
       idCol: String = "id",
       textCol: String = "text",
       hasGeo: Boolean = false,
-      batchId: Long = 0L): Unit = {
+      batchId: Long = 0L,
+      keepSnapshots: Int = 2): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val scored = Matcher
@@ -89,6 +90,12 @@ object StreamingLink {
     // one scored batch in executor storage per micro-batch
     graft.util.CheckpointHygiene.free(clusters)
     graft.util.CheckpointHygiene.free(scoredMat)
+    // ... and expire superseded snapshots so disk doesn't grow
+    // O(batches × state) either — each commit is a FULL state copy
+    // (that's what makes the fold restart-safe), so only the newest
+    // few are live; keepSnapshots=1 is valid for pure tail-reading
+    TableIO.expireSnapshots(root, "matches", keepSnapshots)
+    TableIO.expireSnapshots(root, "clusters", keepSnapshots)
   }
 
   /** Wire a streaming right-side source into [[foldBatch]]. */

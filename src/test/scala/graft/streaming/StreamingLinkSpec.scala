@@ -9,6 +9,7 @@ import graft.normalize.Normalizer
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 case class RightRow(id: String, address: String)
 
@@ -45,13 +46,23 @@ class StreamingLinkSpec extends SparkSpec {
         mem.addData(b.toSeq: _*)
         q.processAllAvailable()
       }
-      // at-least-once replay of the first batch: state must not change
+      // at-least-once replay of the first batch: a new snapshot id is
+      // committed (the fold runs) but its CONTENT must be unchanged
       val before = (TableIO.latestSnapshotId(root, "matches").get,
         TableIO.readTable(spark, root, "matches").count(),
         TableIO.readTable(spark, root, "clusters").count())
       mem.addData(rows.take(rows.length / 3 + 1).toSeq: _*)
       q.processAllAvailable()
       assert(TableIO.latestSnapshotId(root, "matches").get > before._1)
+      assert(TableIO.readTable(spark, root, "matches").count() == before._2)
+      assert(TableIO.readTable(spark, root, "clusters").count() == before._3)
+      // snapshot retention: 4 batches committed, only keepSnapshots=2
+      // newest survive per table (disk must not grow O(batches))
+      for (t <- Seq("matches", "clusters")) {
+        val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(root, t))
+          .iterator().asScala.count(_.getFileName.toString.startsWith("snapshot="))
+        assert(dirs == 2, s"$t retains $dirs snapshots, expected 2")
+      }
     } finally q.stop()
 
     val expectedM = Matcher.matchPairs(left, norm(rightAll), cfg,
