@@ -107,9 +107,11 @@ object StreamingLink {
       checkpointDir: String,
       idCol: String = "id",
       textCol: String = "text",
-      hasGeo: Boolean = false): StreamingQuery = {
+      hasGeo: Boolean = false,
+      keepSnapshots: Int = 2): StreamingQuery = {
     val fold: (Dataset[Row], Long) => Unit = (batch, id) =>
-      foldBatch(batch.toDF(), left, cfg, root, idCol, textCol, hasGeo, id)
+      foldBatch(batch.toDF(), left, cfg, root, idCol, textCol, hasGeo, id,
+        keepSnapshots)
     rightStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(fold)
