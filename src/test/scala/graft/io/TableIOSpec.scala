@@ -53,6 +53,30 @@ class TableIOSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("expireSnapshots keeps the newest K; latest stays readable; keepLast floors at 1") {
+    import spark.implicits._
+    val root = tmpRoot()
+    for (i <- 1 to 5)
+      TableIO.commitSnapshot(
+        (1 to i).map(j => (j.toLong, s"v$j")).toDF("id", "v"),
+        root, "t", Map("batch" -> i.toString))
+    val expired = TableIO.expireSnapshots(root, "t", keepLast = 2)
+    assert(expired == Seq(0L, 1L, 2L))
+    val left = Files.list(Paths.get(root, "t")).iterator()
+    val names = Iterator.continually(left).takeWhile(_.hasNext).map(_.next()
+      .getFileName.toString).filter(_.startsWith("snapshot=")).toSet
+    assert(names == Set("snapshot=3", "snapshot=4"))
+    assert(TableIO.latestSnapshotId(root, "t").contains(4L))
+    assert(TableIO.readTable(spark, root, "t").count() == 5)
+    // keepLast < 1 coerces to 1: the latest snapshot is never expired
+    assert(TableIO.expireSnapshots(root, "t", keepLast = 0) == Seq(3L))
+    assert(TableIO.readTable(spark, root, "t").count() == 5)
+    // and the next commit continues the id sequence from the survivor
+    val c = TableIO.commitSnapshot(
+      Seq((1L, "x")).toDF("id", "v"), root, "t", Map("batch" -> "6"))
+    assert(c.snapshotId == 5L)
+  }
+
   test("resumeOrCompute: same lineage resumes, changed lineage recomputes") {
     import spark.implicits._
     val root = tmpRoot()
