@@ -67,7 +67,8 @@ object ConnectedComponents {
       dstCol: String = "dst",
       maxIter: Int = 25,
       checkpoint: Option[CcCheckpoint] = None,
-      checkEvery: Int = 1): DataFrame = {
+      checkEvery: Int = 1,
+      strict: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
 
     def canon(e: DataFrame): DataFrame =
@@ -224,12 +225,19 @@ object ConnectedComponents {
     // signal to the caller. O(log n) convergence makes the default cap
     // generous (25 rounds covers ~2^25-diameter graphs), so reaching it
     // is always worth a loud warning.
-    if (!converged)
-      System.err.println(
-        s"[cc] WARNING: maxIter=$maxIter reached without convergence " +
+    if (!converged) {
+      val msg =
+        s"[cc] maxIter=$maxIter reached without convergence " +
           s"($iter rounds run) — component assignments may be incomplete; " +
           "raise maxIter (or lower checkEvery: up to 2*checkEvery-1 rounds " +
-          "of the budget go to post-fixed-point no-op chains)")
+          "of the budget go to post-fixed-point no-op chains)"
+      // strict: callers that COMMIT the result as durable state (the
+      // streaming fold) must fail the batch rather than bake wrong
+      // components into every subsequent incremental run
+      if (strict) { hygiene.releaseAll(); graft.util.CheckpointHygiene.free(raw)
+        throw new IllegalStateException(msg) }
+      System.err.println(s"WARNING: $msg")
+    }
 
     // At convergence every component is a star rooted at its min id:
     // component(v) = min neighbor (or itself for roots/isolated nodes).
@@ -284,10 +292,11 @@ object ConnectedComponents {
       dstCol: String = "dst",
       maxIter: Int = 25,
       checkpoint: Option[CcCheckpoint] = None,
-      checkEvery: Int = 1): DataFrame =
+      checkEvery: Int = 1,
+      strict: Boolean = false): DataFrame =
     run(
       priorComponents.select(col("id").as("u"), col("component").as("v"))
         .unionByName(
           newEdges.select(col(srcCol).as("u"), col(dstCol).as("v"))),
-      "u", "v", maxIter, checkpoint, checkEvery)
+      "u", "v", maxIter, checkpoint, checkEvery, strict)
 }

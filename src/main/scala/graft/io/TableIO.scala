@@ -144,13 +144,20 @@ object TableIO {
     }
 
   /** Iceberg-style snapshot expiry: delete all but the newest
-    * `keepLast` committed snapshots of `table`. Readers only ever
-    * resolve the LATEST snapshot (readTable/latestSnapshotId), so
-    * expiring older ones is safe for them by construction; callers
-    * that pin an older snapshot id for time travel own their retention
-    * window. Without expiry a per-micro-batch committer grows disk
-    * O(batches × state) — this is the pruning hook an unbounded stream
-    * needs. Returns the expired snapshot ids. */
+    * `keepLast` committed snapshots of `table`, plus any ORPHANED
+    * `_tmp_*` staging dir older than an hour (a crash between
+    * `df.write` and the atomic publish move leaves a full-state copy
+    * behind; without sweeping them a crash-restarting committer still
+    * grows disk without bound — the age gate protects an in-flight
+    * commit, whose staging files are by definition fresh).
+    *
+    * Retention contract (same as Iceberg's expire_snapshots): a
+    * CONCURRENT reader that resolved snapshot N keeps its files only
+    * while N is among the newest `keepLast` — a reader job spanning
+    * more than keepLast-1 subsequent commits can lose files mid-scan.
+    * Size keepLast to max-reader-latency / commit-interval; callers
+    * that pin older ids for time travel own their retention window.
+    * Returns the expired snapshot ids. */
   def expireSnapshots(root: String, table: String, keepLast: Int = 2): Seq[Long] = {
     val all = snapshots(root, table)
     val expire = all.dropRight(math.max(1, keepLast))
@@ -163,6 +170,25 @@ object TableIO {
         Files.list(dir).iterator().asScala.foreach(Files.deleteIfExists(_))
         Files.deleteIfExists(dir)
       }
+    }
+    val td = tableDir(root, table)
+    if (Files.isDirectory(td)) {
+      val staleMs = System.currentTimeMillis() - 3600L * 1000
+      def allStale(p: Path): Boolean =
+        Files.getLastModifiedTime(p).toMillis < staleMs &&
+          (!Files.isDirectory(p) || {
+            val kids = Files.list(p)
+            try kids.iterator().asScala.forall(allStale) finally kids.close()
+          })
+      Files.list(td).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("_tmp_") &&
+          (try allStale(p) catch { case _: Exception => false }))
+        .foreach { p =>
+          try {
+            Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(Files.deleteIfExists(_))
+          } catch { case _: Exception => () }
+        }
     }
     expire
   }

@@ -18,7 +18,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     so after the stream drains the table PROVABLY equals the batch
   *     `matchPairs(left, allRights)` (subset-rank argument in that
   *     scaladoc; pair replays collapse via
-  *     [[Matcher.rankTopKDistinct]]).
+  *     [[Matcher.rankTopKDistinct]]). PRECONDITION: the stream is
+  *     append-plus-replay — a re-delivered row carries the SAME
+  *     payload. A row re-delivered with a CHANGED payload (an upsert)
+  *     keeps its best-ever score in the fold (the dedup retains the
+  *     max-scored occurrence, so a downgraded payload can never lower
+  *     or evict its stale match); correcting payloads requires
+  *     re-committing the prior matches table without the affected
+  *     pairs (compaction), which this sink deliberately does not do
+  *     inline.
   *   - `clusters`: transitive entities over every accepted
   *     (thresholded) scored pair ever seen, folded with
   *     [[ConnectedComponents.runIncremental]]'s star-contraction
@@ -57,13 +65,12 @@ object StreamingLink {
       keepSnapshots: Int = 2): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val scored = Matcher
+    // scoredPairs returns exactly (left_id, right_id, score); it feeds
+    // both tables below — cut the plan once so the block join runs one
+    // time per batch, not once per sink table
+    val scoredMat = Matcher
       .scoredPairs(left, batch, cfg, idCol, textCol, hasGeo)
-      .select(col("left_id"), col("right_id"), col("score"))
-
-    // scored feeds both tables below — cut the plan once so the block
-    // join runs one time per batch, not once per sink table
-    val scoredMat = scored.localCheckpoint(true)
+      .localCheckpoint(true)
 
     val matches = TableIO.latestSnapshotId(root, "matches") match {
       case Some(_) =>
@@ -75,13 +82,17 @@ object StreamingLink {
     TableIO.commitSnapshot(matches, root, "matches",
       Map("stage" -> "matches", "batch" -> batchId.toString))
 
+    // strict: an unconverged CC result must FAIL the batch (streaming
+    // retries it) — committing it would bake wrong components into the
+    // prior star set of every subsequent fold, with no signal
     val clusters = TableIO.latestSnapshotId(root, "clusters") match {
       case Some(_) =>
         ConnectedComponents.runIncremental(
           TableIO.readTable(spark, root, "clusters"), scoredMat,
-          "left_id", "right_id")
+          "left_id", "right_id", strict = true)
       case None =>
-        ConnectedComponents.run(scoredMat, "left_id", "right_id")
+        ConnectedComponents.run(scoredMat, "left_id", "right_id",
+          strict = true)
     }
     TableIO.commitSnapshot(clusters, root, "clusters",
       Map("stage" -> "clusters", "batch" -> batchId.toString))
@@ -93,7 +104,11 @@ object StreamingLink {
     // ... and expire superseded snapshots so disk doesn't grow
     // O(batches × state) either — each commit is a FULL state copy
     // (that's what makes the fold restart-safe), so only the newest
-    // few are live; keepSnapshots=1 is valid for pure tail-reading
+    // few are live. keepSnapshots is the CONCURRENT-READER retention
+    // window (see expireSnapshots scaladoc): an external reader's job
+    // must finish within keepSnapshots-1 commit cycles of resolving
+    // its snapshot, or its files can be expired mid-scan — size it to
+    // max reader latency / batch interval, Iceberg-style.
     TableIO.expireSnapshots(root, "matches", keepSnapshots)
     TableIO.expireSnapshots(root, "clusters", keepSnapshots)
   }

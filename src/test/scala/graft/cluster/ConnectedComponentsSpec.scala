@@ -95,6 +95,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("strict mode throws on maxIter exhaustion instead of committing wrong labels") {
+    import spark.implicits._
+    // a 64-node chain needs more than 1 round; default (non-strict)
+    // warns and returns, strict must throw
+    val chain = (0 until 63).map(i => (i, i + 1))
+      .toDF("src", "dst")
+      .selectExpr("CAST(src AS STRING) AS src", "CAST(dst AS STRING) AS dst")
+    try {
+      val e = intercept[IllegalStateException] {
+        ConnectedComponents.run(chain, maxIter = 1, strict = true)
+      }
+      assert(e.getMessage.contains("maxIter"))
+    } finally dropPersisted()
+  }
+
   test("deterministic: long chain + star + isolated self-loop") {
     import spark.implicits._
     // chain 0-1-2-...-9 (diameter stress), star 20<-21..25, self-loop 30

@@ -75,6 +75,19 @@ class TableIOSpec extends SparkSpec {
     val c = TableIO.commitSnapshot(
       Seq((1L, "x")).toDF("id", "v"), root, "t", Map("batch" -> "6"))
     assert(c.snapshotId == 5L)
+    // orphaned _tmp_ staging dirs (crashed commit): swept when stale
+    // (>1h by mtime, recursively), protected when fresh
+    val stale = Files.createDirectory(Paths.get(root, "t", "_tmp_deadbeef"))
+    Files.writeString(stale.resolve("part-0.parquet"), "x")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L)
+    Files.setLastModifiedTime(stale.resolve("part-0.parquet"), old)
+    Files.setLastModifiedTime(stale, old)
+    val fresh = Files.createDirectory(Paths.get(root, "t", "_tmp_cafebabe"))
+    Files.writeString(fresh.resolve("part-0.parquet"), "y")
+    TableIO.expireSnapshots(root, "t", keepLast = 2)
+    assert(!Files.exists(stale), "stale _tmp_ dir not swept")
+    assert(Files.exists(fresh), "fresh (in-flight) _tmp_ dir must survive")
   }
 
   test("resumeOrCompute: same lineage resumes, changed lineage recomputes") {
