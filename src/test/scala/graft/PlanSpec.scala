@@ -62,6 +62,36 @@ class PlanSpec extends SparkSpec {
       s"matchIndex funnels rows through one partition:\n$p")
   }
 
+  test("block histogram: map-side partial aggs, one shuffle per side, no extra join exchange") {
+    val conv = SparkEntry.convNorm(spark, sf0001)
+    val h = Matcher.blockHistogram(
+      conv.filter(col("variant") === 0), conv.filter(col("variant") > 0),
+      MatchConfig.reference, textCol = "text_norm")
+    val p = plan(h)
+    assert(!p.contains("CartesianProduct") && !p.contains("SinglePartition"),
+      s"histogram plan degenerate:\n$p")
+    // both aggregations partial (map-side combine before the exchange)
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"no partial aggregation:\n$p")
+    // the join of the two aggregated sides must reuse their block_key
+    // hash partitioning: exactly 2 data exchanges (one per side), none
+    // introduced by the join itself (broadcast of a side is also fine)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"join added an exchange ($exchanges):\n$p")
+  }
+
+  test("exact quantiles: partial percentile agg, no row explosion") {
+    val q = graft.eda.Profiler.quantiles(
+      spark.read.parquet(s"$sf0001/documents.parquet"),
+      col("n_chars"), Seq(0.25, 0.5, 0.75, 0.95))
+    val p = plan(q)
+    // the sort-based percentile must aggregate map-side first: the
+    // shuffle carries one partial state per partition, not the rows
+    assert(p.contains("partial_percentile") || p.contains("Partial"),
+      s"percentile not partially aggregated:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("salted match plan: hot keys broadcast-joined, no isin literals") {
     val conv = SparkEntry.convNorm(spark, sf0001)
     val m = Matcher.matchPairs(
