@@ -220,6 +220,19 @@ object SparkEntry {
     }),
     // Block join + scoring + threshold + topk (J1-J3, J6-J7, J10-J12).
     "m_match_jw" -> ((s, dir) => matchJw(s, dir)),
+    // Same match with the Bloom block-key pregate on
+    // (blocking.BloomPregate): the corpus side is thinned at its scan
+    // by a sketch of the batch side's keys, BEFORE the exchange. The
+    // oracle is the SAME SQL as m_match_jw — hash equality IS the
+    // exactness proof that the sketch admits every true candidate.
+    "m_match_bloom" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      Matcher.matchPairs(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        MatchConfig.reference.copy(scorer = "jaro_winkler", bloomPregateItems = 65536L),
+        idCol = "conv_id", textCol = "text_norm")
+    }),
     // Anti-join unmatched outputs (J15).
     "m_unmatched_left" -> ((s, dir) => {
       val conv = convNorm(s, dir).cache()
@@ -523,6 +536,9 @@ object SparkEntry {
          |WHERE l.variant = 0 AND r.variant > 0
          |""".stripMargin),
     "m_match_jw" -> matchJwOracle,
+    // bloom pregate is output-invariant, so the oracle is the plain
+    // match SQL verbatim (see the queries entry)
+    "m_match_bloom" -> matchJwOracle,
     "m_unmatched_left" -> withCtes(
       s"""
          |, m AS (${matchBody}),

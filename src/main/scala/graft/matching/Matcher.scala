@@ -38,6 +38,17 @@ case class MatchConfig(
       * table written at normalize-commit time ([[graft.pipeline.Pipeline]]).
       * Never touches the driver; takes precedence over knownHotKeys. */
     knownHotKeysDf: Option[DataFrame] = None,
+    /** When > 0, pre-filter the RIGHT (corpus) side at its scan with a
+      * Bloom filter built over the left side's block keys
+      * ([[graft.blocking.BloomPregate]]), sized for this many distinct
+      * left keys. Output is bit-identical (the exact join drops the
+      * sketch's false positives); the win is shuffle bytes — corpus
+      * rows whose block key cannot match never enter the exchange. Use
+      * when the left batch is much smaller than the right corpus (the
+      * per-ingest-batch production shape); leave 0 when both sides are
+      * comparable (the sketch pass would just re-scan half the input
+      * for little exclusion). */
+    bloomPregateItems: Long = 0L,
     /** Both sides are already co-partitioned on the block key — e.g.
       * read from tables bucketed by `block_key` with equal bucket
       * counts ([[Matcher.writeBucketedByBlockKey]]). Skips the
@@ -154,7 +165,19 @@ object Matcher {
     }
 
     val l0 = prepped(left, "left")
-    val r0 = prepped(right, "right")
+    // The bloom pregate thins the corpus side BEFORE any exchange (and
+    // before salting's flag join / replication), so every downstream
+    // stage — including the hot-key replication, the costliest bytes in
+    // the plan — pays only for candidate rows. Applied post-scan it
+    // also preserves bucket metadata, so it composes with coPartitioned.
+    val r0 = {
+      val base = prepped(right, "right")
+      if (cfg.bloomPregateItems > 0)
+        base.filter(graft.blocking.BloomPregate.keyFilter(
+          l0.select(col("block_key")), col("block_key"), col("block_key"),
+          cfg.bloomPregateItems))
+      else base
+    }
 
     // Salted, skew-aware equi-join on the block key, with EXPLICIT
     // repartitioning on the join key (north rule). The explicit

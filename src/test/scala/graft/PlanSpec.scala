@@ -92,6 +92,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bloom pregate plan: subquery sketch with partial agg, might_contain before the exchange") {
+    val m = Matcher.matchPairs(
+      SparkEntry.addrNorm(AddressFixture.left(spark, sf0001)),
+      SparkEntry.addrNorm(AddressFixture.rightAll(spark, sf0001)),
+      MatchConfig(scorer = "lev_ratio", threshold = 75, topk = 3,
+        blockBy = "digits+prefix6", wDigits = 0.15, wGeo = 0.05,
+        bloomPregateItems = 4096L),
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    val p = plan(m)
+    // the sketch reaches the corpus filter as a scalar subquery (no
+    // driver-side key set, no isin literal tree)
+    assert(p.contains("might_contain"), s"no bloom filter in plan:\n$p")
+    assert(p.contains("Subquery"), s"bloom not fed via subquery:\n$p")
+    assert(!p.contains(" IN ("), "pregate degenerated to isin literals")
+    // the sketch aggregate merges map-side: the exchange between the
+    // two halves carries one sketch per partition, never the key rows
+    assert(p.contains("partial_bloom_filter_agg") || p.contains("Partial"),
+      s"bloom aggregate not partial:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("salted match plan: hot keys broadcast-joined, no isin literals") {
     val conv = SparkEntry.convNorm(spark, sf0001)
     val m = Matcher.matchPairs(

@@ -65,6 +65,35 @@ class MatcherSpec extends SparkSpec {
     assert(plain.exceptAll(adaptive).count() == 0 && adaptive.exceptAll(plain).count() == 0)
   }
 
+  test("bloom pregate preserves exact match semantics (alone and composed with salting)") {
+    val left = norm(AddressFixture.left(spark, sf0001))
+    val right = norm(AddressFixture.rightAll(spark, sf0001))
+    val plain = Matcher.matchPairs(left, right, cfg.copy(topk = 3),
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    val bloomed = Matcher.matchPairs(left, right,
+      cfg.copy(topk = 3, bloomPregateItems = 4096L),
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    assert(plain.exceptAll(bloomed).count() == 0 && bloomed.exceptAll(plain).count() == 0)
+    val boths = Matcher.matchPairs(left, right,
+      cfg.copy(topk = 3, bloomPregateItems = 4096L, saltBuckets = 8, saltHotPairs = 1L),
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    assert(plain.exceptAll(boths).count() == 0 && boths.exceptAll(plain).count() == 0)
+  }
+
+  test("bloom keyFilter: no false negatives, misses mostly excluded") {
+    import spark.implicits._
+    val source = (0 until 10).map(i => s"k$i").toDF("key")
+    val target = ((0 until 10).map(i => s"k$i") ++
+      (0 until 1000).map(i => s"miss$i")).toDF("key")
+    val kept = target.filter(graft.blocking.BloomPregate.keyFilter(
+      source, col("key"), col("key"), expectedItems = 10)).as[String].collect().toSet
+    // every true key admitted — the exactness half of the contract
+    assert((0 until 10).forall(i => kept.contains(s"k$i")))
+    // and the filter actually filters: at fpp=3% the ~1000 misses admit
+    // ~30 false positives; 150 is a 5x margin against unlucky hashing
+    assert(kept.size <= 10 + 150, s"bloom admitted ${kept.size - 10} of 1000 misses")
+  }
+
   test("incremental match equals full match (salted; and empty increment = prior)") {
     val left = norm(AddressFixture.left(spark, sf0001))
     val right = norm(AddressFixture.rightAll(spark, sf0001))
