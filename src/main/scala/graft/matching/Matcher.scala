@@ -49,6 +49,15 @@ case class MatchConfig(
       * comparable (the sketch pass would just re-scan half the input
       * for little exclusion). */
     bloomPregateItems: Long = 0L,
+    /** Which side the pregate THINS (the sketch is always built over
+      * the other side's keys). "right" is the per-batch production
+      * shape above; "left" is its mirror — a huge committed left
+      * matched against a small right increment, the `old × new` leg of
+      * [[Matcher.matchPairsIncremental]]. The sketch must be built
+      * over the SMALL side: building it over the big side would pay a
+      * full extra scan of exactly the rows the pregate exists to
+      * avoid touching. */
+    bloomPregateSide: String = "right",
     /** Both sides are already co-partitioned on the block key — e.g.
       * read from tables bucketed by `block_key` with equal bucket
       * counts ([[Matcher.writeBucketedByBlockKey]]). Skips the
@@ -164,20 +173,21 @@ object Matcher {
       out
     }
 
-    val l0 = prepped(left, "left")
-    // The bloom pregate thins the corpus side BEFORE any exchange (and
+    // The bloom pregate thins the big side BEFORE any exchange (and
     // before salting's flag join / replication), so every downstream
     // stage — including the hot-key replication, the costliest bytes in
     // the plan — pays only for candidate rows. Applied post-scan it
     // also preserves bucket metadata, so it composes with coPartitioned.
-    val r0 = {
-      val base = prepped(right, "right")
-      if (cfg.bloomPregateItems > 0)
-        base.filter(graft.blocking.BloomPregate.keyFilter(
-          l0.select(col("block_key")), col("block_key"), col("block_key"),
-          cfg.bloomPregateItems))
-      else base
-    }
+    val lBase = prepped(left, "left")
+    val rBase = prepped(right, "right")
+    def pregated(big: DataFrame, small: DataFrame): DataFrame =
+      big.filter(graft.blocking.BloomPregate.keyFilter(
+        small.select(col("block_key")), col("block_key"), col("block_key"),
+        cfg.bloomPregateItems))
+    val (l0, r0) =
+      if (cfg.bloomPregateItems <= 0) (lBase, rBase)
+      else if (cfg.bloomPregateSide == "left") (pregated(lBase, rBase), rBase)
+      else (lBase, pregated(rBase, lBase))
 
     // Salted, skew-aware equi-join on the block key, with EXPLICIT
     // repartitioning on the join key (north rule). The explicit
@@ -330,7 +340,16 @@ object Matcher {
     * union then carries the same pair from two subspaces, and the
     * ranking dedups pair repeats before counting top-k slots — even
     * score-divergent repeats from an upserted payload collapse to one
-    * slot (see [[rankTopKDistinct]]; zero extra shuffle). */
+    * slot (see [[rankTopKDistinct]]; zero extra shuffle).
+    *
+    * With `cfg.bloomPregateItems > 0` the pregate is oriented PER LEG
+    * to match each leg's asymmetry — `new × all` thins the corpus by a
+    * sketch of the increment's keys (cfg's own side setting), while
+    * `old × new` flips to `bloomPregateSide = "left"` so the sketch is
+    * built over the small right increment and thins the huge old left:
+    * both legs then scan-skip the committed corpus rows whose block
+    * key the increment never mentions, which is the dominant byte
+    * saving of incremental matching. */
   def matchPairsIncremental(
       leftOld: DataFrame,
       leftNew: DataFrame,
@@ -342,9 +361,11 @@ object Matcher {
       textCol: String = "text",
       hasGeo: Boolean = false): DataFrame = {
     val newVsAll = scoredPairs(
-      leftNew, rightOld.unionByName(rightNew), cfg, idCol, textCol, hasGeo)
+      leftNew, rightOld.unionByName(rightNew),
+      cfg.copy(bloomPregateSide = "right"), idCol, textCol, hasGeo)
     val oldVsNew = scoredPairs(
-      leftOld, rightNew, cfg, idCol, textCol, hasGeo)
+      leftOld, rightNew,
+      cfg.copy(bloomPregateSide = "left"), idCol, textCol, hasGeo)
     rankTopKDistinct(
       priorMatches.select(col("left_id"), col("right_id"), col("score"))
         .unionByName(newVsAll)

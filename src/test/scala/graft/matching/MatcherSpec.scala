@@ -78,6 +78,30 @@ class MatcherSpec extends SparkSpec {
       cfg.copy(topk = 3, bloomPregateItems = 4096L, saltBuckets = 8, saltHotPairs = 1L),
       idCol = "id", textCol = "address_norm", hasGeo = true)
     assert(plain.exceptAll(boths).count() == 0 && boths.exceptAll(plain).count() == 0)
+    // mirrored orientation (left thinned by a sketch of right's keys —
+    // the old×new incremental leg) must be just as invisible
+    val mirrored = Matcher.matchPairs(left, right,
+      cfg.copy(topk = 3, bloomPregateItems = 4096L, bloomPregateSide = "left"),
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    assert(plain.exceptAll(mirrored).count() == 0 && mirrored.exceptAll(plain).count() == 0)
+  }
+
+  test("incremental match with bloom pregate equals full match") {
+    val left = norm(AddressFixture.left(spark, sf0001))
+    val right = norm(AddressFixture.rightAll(spark, sf0001))
+    val c = cfg.copy(topk = 3, bloomPregateItems = 4096L)
+    val full = Matcher.matchPairs(left, right, c,
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    val isOld = expr("CAST(regexp_extract(id, '([0-9]+)', 1) AS BIGINT) % 2 = 0")
+    val prior = Matcher.matchPairs(left.filter(isOld), right.filter(isOld), c,
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    // per-leg pregate orientation (right for new×all, left for old×new)
+    // is internal to matchPairsIncremental — equality proves both legs
+    val incr = Matcher.matchPairsIncremental(
+      left.filter(isOld), left.filter(not(isOld)),
+      right.filter(isOld), right.filter(not(isOld)),
+      prior, c, idCol = "id", textCol = "address_norm", hasGeo = true)
+    assert(full.exceptAll(incr).count() == 0 && incr.exceptAll(full).count() == 0)
   }
 
   test("bloom keyFilter: no false negatives, misses mostly excluded") {
