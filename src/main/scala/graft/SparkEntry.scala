@@ -88,6 +88,41 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** DuckDB mirror of the LSH-blocked match (`m_match_lsh`): the
+    * shingle→signature→band chain is [[graft.dedup.Dedup.minhashBandsSqlDuck]]
+    * (digit-for-digit the Spark arithmetic); candidates = DISTINCT
+    * band-sharing pairs (the Spark side's score-time pair collapse is
+    * equivalent because scores are deterministic); scoring/ranking is
+    * the [[matchJwOracle]] shape verbatim. */
+  private def matchLshOracle: String = withCtes {
+    val bandsCte = graft.dedup.Dedup.minhashBandsSqlDuck(
+      "conv_norm", "conv_id", "text_norm", Seq("variant"),
+      k = 5, numHashes = 16, bands = 4)
+    val ds = graft.similarity.Scores.digitsScoreSqlDuck("lt", "rt")
+    s"""
+       |, $bandsCte
+       |, cand AS (
+       |  SELECT DISTINCT l.conv_id AS left_id, r.conv_id AS right_id,
+       |         l.text_norm AS lt, r.text_norm AS rt
+       |  FROM mb_bands l JOIN mb_bands r ON l.band = r.band
+       |  WHERE l.variant = 0 AND r.variant > 0
+       |)
+       |, scored AS (
+       |  SELECT left_id, right_id,
+       |         round((jaro_winkler_similarity(lt, rt) * 100.0 * 0.8::DOUBLE
+       |                + $ds::DOUBLE * 0.15::DOUBLE)
+       |               / (0.8::DOUBLE + 0.15::DOUBLE), 2) AS score
+       |  FROM cand
+       |)
+       |, ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY left_id
+       |                               ORDER BY score DESC, right_id ASC) AS rn
+       |  FROM scored WHERE score >= 60.0
+       |)
+       |SELECT left_id, right_id, score FROM ranked WHERE rn <= 3
+       |""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Address fixture path (reference-shaped two-sided match, J6-J10 full)
   // -------------------------------------------------------------------
@@ -231,6 +266,18 @@ object SparkEntry {
         conv.filter(col("variant") === 0),
         conv.filter(col("variant") > 0),
         MatchConfig.reference.copy(scorer = "jaro_winkler", bloomPregateItems = 65536L),
+        idCol = "conv_id", textCol = "text_norm")
+    }),
+    // MinHash-LSH banding as the matcher's candidate generation (the
+    // north-star's composite blocking): same scorer/threshold/topk,
+    // candidates = pairs sharing >=1 of 4 signature bands over 5-gram
+    // shingles instead of a shared prefix key.
+    "m_match_lsh" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      Matcher.matchPairsLshBlocked(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        MatchConfig.reference.copy(scorer = "jaro_winkler"),
         idCol = "conv_id", textCol = "text_norm")
     }),
     // Anti-join unmatched outputs (J15).
@@ -539,6 +586,7 @@ object SparkEntry {
     // bloom pregate is output-invariant, so the oracle is the plain
     // match SQL verbatim (see the queries entry)
     "m_match_bloom" -> matchJwOracle,
+    "m_match_lsh" -> matchLshOracle,
     "m_unmatched_left" -> withCtes(
       s"""
          |, m AS (${matchBody}),

@@ -131,6 +131,57 @@ object Dedup {
           transform(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand)), v => v.cast("string"))))))
   }
 
+  /** DuckDB mirror of the shingle → signature → band-key chain, as a
+    * reusable CTE body: emits `<p>sh / <p>hs / <p>sig / <p>bands`
+    * definitions (prefix `p` avoids collisions with the caller's CTEs);
+    * the final relation `<p>bands` carries ($idCol, $carryCols...,
+    * $textCol, band) with one row per (row, band key). Arithmetic is
+    * digit-for-digit [[shingles]] + [[minhashSignature]] + [[bandKeys]]
+    * (same premasked xorshift steps, same per-seed constants), so any
+    * oracle built on it hashes against the Spark side bit-for-bit —
+    * shared by the LSH-blocked match oracle (SparkEntry `m_match_lsh`);
+    * the dedup oracle in ExtraQueries predates it and spells the same
+    * SQL inline. */
+  def minhashBandsSqlDuck(
+      fromRelation: String, idCol: String, textCol: String,
+      carryCols: Seq[String], k: Int, numHashes: Int, bands: Int,
+      p: String = "mb_"): String = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    requireSeeds(numHashes)
+    val rpb = numHashes / bands
+    val consts = mhSeedConsts.take(numHashes).mkString("[", ", ", "]")
+    val carry = carryCols.map(c => s"$c, ").mkString
+    s"""${p}sh AS (
+       |  SELECT $idCol, $carry$textCol,
+       |         list_distinct(list_transform(generate_series(1, greatest(length($textCol)-${k - 1}, 0)),
+       |                       i -> substring($textCol, CAST(i AS INT), $k))) AS sh
+       |  FROM $fromRelation
+       |), ${p}hs AS (
+       |  SELECT $idCol, $carry$textCol,
+       |         list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+       |  FROM ${p}sh WHERE len(sh) > 0
+       |), ${p}sig AS (
+       |  SELECT $idCol, $carry$textCol,
+       |         list_transform(generate_series(0, ${numHashes - 1}), seed ->
+       |           list_min(
+       |             list_transform(
+       |               list_transform(
+       |                 list_transform(
+       |                   list_transform(hs, h -> xor(h, $consts[CAST(seed+1 AS INT)])),
+       |                   x -> xor(x, (x & ${mhMask60 >> 13}) << 13)),
+       |                 x -> xor(x, x >> 29)),
+       |               x -> xor(x, (x & ${mhMask60 >> 17}) << 17)))) AS sig
+       |  FROM ${p}hs
+       |), ${p}bands AS (
+       |  SELECT $idCol, $carry$textCol,
+       |         unnest(list_transform(generate_series(0, ${bands - 1}), b ->
+       |           CAST(b AS STRING) || '|' ||
+       |           md5(array_to_string(list_transform(sig[CAST(b*$rpb+1 AS INT):CAST(b*$rpb+$rpb AS INT)],
+       |                                              x -> CAST(x AS STRING)), '_')))) AS band
+       |  FROM ${p}sig
+       |)""".stripMargin
+  }
+
   /** End-to-end MinHash-LSH near-dup candidate pairs with exact n-gram
     * Jaccard verification. Returns (id_a, id_b, jaccard) with
     * id_a < id_b, jaccard >= threshold.

@@ -1,6 +1,7 @@
 package graft.matching
 
 import graft.blocking.BlockKeys
+import graft.dedup.Dedup
 import graft.similarity.{FuzzFunctions, Scores}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -399,6 +400,74 @@ object Matcher {
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= topk)
       .select(col("left_id"), col("right_id"), col("score"))
+  }
+
+  /** Block on MinHash-LSH band keys instead of a derived prefix key —
+    * the north-star's composite candidate generation ("token q-grams +
+    * MinHash-LSH banding over concatenated turn text") as a first-class
+    * matcher path. Where `blockBy` keys demand a shared prefix/digit
+    * run, banding admits any pair whose k-shingle sets are similar
+    * enough to collide in ≥ 1 of `bands` signature bands — recall is
+    * tunable (more bands / narrower rows ⇒ higher recall) and
+    * independent of WHERE the strings differ, which prefix keys are
+    * blind to.
+    *
+    * Plan: per side, one relational signature pass
+    * ([[Dedup.minhashSignatureRelational]] — map-side min-agg, shuffle
+    * carries (id, seed, min) not shingles), band keys exploded (`bands`
+    * rows per input row), explicit repartition on `band` (same
+    * exploding-join AQE guard as the block join), heavy per-row columns
+    * derived POST-exchange, equi-join on band. A pair sharing b > 1
+    * bands is scored b times with identical (deterministic) scores and
+    * collapsed to one top-k slot by [[rankTopKDistinct]] — band overlap
+    * is small for near-dup pairs (usually 1), so re-scoring beats the
+    * extra pair-dedup shuffle a pre-score `distinct` would cost.
+    *
+    * Oracle-checked end to end (`m_match_lsh` vs the
+    * [[Dedup.minhashBandsSqlDuck]] mirror); rows shorter than
+    * `shingleK` have no shingles and generate no candidates (mirrored). */
+  def matchPairsLshBlocked(
+      left: DataFrame,
+      right: DataFrame,
+      cfg: MatchConfig,
+      idCol: String = "id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val parts = left.sparkSession.sessionState.conf.numShufflePartitions
+    val scorer = FuzzFunctions.scorer(cfg.scorer)
+    val preTok = cfg.scorer.equalsIgnoreCase("token_set_ratio")
+    def banded(df: DataFrame, side: String): DataFrame = {
+      val base = df.select(col(idCol).as("id"), col(textCol).as("t"))
+        .withColumn("sh", Dedup.shingles(col("t"), shingleK))
+        .filter(size(col("sh")) > 0)
+      val slim = base.select(col("id"), col("t"))
+        .join(Dedup.minhashSignatureRelational(
+          base.select(col("id"), col("sh")), numHashes), "id")
+        .withColumn("band", explode(Dedup.bandKeys(col("sig"), bands, numHashes)))
+        .select(col("id").as(s"${side}_id"), col("t").as(s"${side}_text"), col("band"))
+        .repartition(parts, col("band"))
+      // heavy per-row columns after the exchange (slim-shuffle rule)
+      val withDigits = slim.withColumn(
+        s"${side}_digit_runs", Scores.digitRuns(col(s"${side}_text")))
+      if (preTok)
+        withDigits.withColumn(s"${side}_tokset",
+          FuzzFunctions.sortedTokenSet(col(s"${side}_text")))
+      else withDigits
+    }
+    val joined = banded(left, "left").join(banded(right, "right"), Seq("band"), "inner")
+    val textS =
+      if (preTok) FuzzFunctions.token_set_ratio_pretok(col("left_tokset"), col("right_tokset"))
+      else scorer(col("left_text"), col("right_text"))
+    val digitsS = Scores.digitsScoreArrays(col("left_digit_runs"), col("right_digit_runs"))
+    val conf = Scores.combine(textS, digitsS, lit(null).cast("double"),
+      cfg.wText, cfg.wDigits, cfg.wGeo)
+    rankTopKDistinct(
+      joined.withColumn("score", conf)
+        .filter(col("score") >= cfg.thresholdScaled)
+        .select(col("left_id"), col("right_id"), col("score")),
+      cfg.topk)
   }
 
   /** Write a side as a parquet table BUCKETED (and sorted) by its
