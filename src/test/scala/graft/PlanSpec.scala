@@ -113,6 +113,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("LSH-blocked match plan: no cartesian, no shingle arrays through the band shuffle") {
+    val conv = SparkEntry.convNorm(spark, sf0001)
+    val m = Matcher.matchPairsLshBlocked(
+      conv.filter(col("variant") === 0),
+      conv.filter(col("variant") > 0),
+      MatchConfig.reference.copy(scorer = "jaro_winkler"),
+      idCol = "conv_id", textCol = "text_norm")
+    val p = plan(m)
+    assert(!p.contains("CartesianProduct"), "banding degenerated to a cartesian")
+    // the signature stage is relational: the shuffle after the shingle
+    // explode carries (id, seed, min-hash) partial aggregates, so a
+    // partial min agg must exist and no exchange row schema may carry
+    // the shingle array itself
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      s"signature min-agg not map-side partial:\n$p")
+    val exchangeRows = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeRows.contains("sh#"), s"shingle array shuffled:\n$exchangeRows")
+  }
+
   test("salted match plan: hot keys broadcast-joined, no isin literals") {
     val conv = SparkEntry.convNorm(spark, sf0001)
     val m = Matcher.matchPairs(
