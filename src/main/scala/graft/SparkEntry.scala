@@ -123,6 +123,47 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** DuckDB mirror of the composite match (`m_match_comp`): block-key
+    * pairs UNION band pairs (DISTINCT — Spark's cross-generator repeats
+    * collapse in the ranking window instead), then the shared
+    * scoring/ranking shape. */
+  private def matchCompositeOracle: String = withCtes {
+    val bandsCte = graft.dedup.Dedup.minhashBandsSqlDuck(
+      "conv_norm", "conv_id", "text_norm", Seq("variant"),
+      k = 5, numHashes = 16, bands = 4)
+    val bk = BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)
+    val ds = graft.similarity.Scores.digitsScoreSqlDuck("lt", "rt")
+    s"""
+       |, $bandsCte
+       |, sides AS (SELECT conv_id, variant, text_norm, $bk AS block_key FROM conv_norm)
+       |, cand AS (
+       |  SELECT DISTINCT left_id, right_id, lt, rt FROM (
+       |    SELECT l.conv_id AS left_id, r.conv_id AS right_id,
+       |           l.text_norm AS lt, r.text_norm AS rt
+       |    FROM sides l JOIN sides r ON l.block_key = r.block_key
+       |    WHERE l.variant = 0 AND r.variant > 0
+       |    UNION ALL
+       |    SELECT l.conv_id, r.conv_id, l.text_norm, r.text_norm
+       |    FROM mb_bands l JOIN mb_bands r ON l.band = r.band
+       |    WHERE l.variant = 0 AND r.variant > 0
+       |  )
+       |)
+       |, scored AS (
+       |  SELECT left_id, right_id,
+       |         round((jaro_winkler_similarity(lt, rt) * 100.0 * 0.8::DOUBLE
+       |                + $ds::DOUBLE * 0.15::DOUBLE)
+       |               / (0.8::DOUBLE + 0.15::DOUBLE), 2) AS score
+       |  FROM cand
+       |)
+       |, ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY left_id
+       |                               ORDER BY score DESC, right_id ASC) AS rn
+       |  FROM scored WHERE score >= 60.0
+       |)
+       |SELECT left_id, right_id, score FROM ranked WHERE rn <= 3
+       |""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Address fixture path (reference-shaped two-sided match, J6-J10 full)
   // -------------------------------------------------------------------
@@ -275,6 +316,16 @@ object SparkEntry {
     "m_match_lsh" -> ((s, dir) => {
       val conv = convNorm(s, dir).cache()
       Matcher.matchPairsLshBlocked(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        MatchConfig.reference.copy(scorer = "jaro_winkler"),
+        idCol = "conv_id", textCol = "text_norm")
+    }),
+    // COMPOSITE blocking (north-star phrase literal): block-key
+    // candidates UNION band candidates, one ranking over both.
+    "m_match_comp" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      Matcher.matchPairsComposite(
         conv.filter(col("variant") === 0),
         conv.filter(col("variant") > 0),
         MatchConfig.reference.copy(scorer = "jaro_winkler"),
@@ -587,6 +638,7 @@ object SparkEntry {
     // match SQL verbatim (see the queries entry)
     "m_match_bloom" -> matchJwOracle,
     "m_match_lsh" -> matchLshOracle,
+    "m_match_comp" -> matchCompositeOracle,
     "m_unmatched_left" -> withCtes(
       s"""
          |, m AS (${matchBody}),

@@ -434,6 +434,23 @@ object Matcher {
       textCol: String = "text",
       shingleK: Int = 5,
       numHashes: Int = 16,
+      bands: Int = 4): DataFrame =
+    rankTopKDistinct(
+      scoredPairsLshBlocked(left, right, cfg, idCol, textCol, shingleK, numHashes, bands),
+      cfg.topk)
+
+  /** The scored-but-unranked LSH-banded candidate set (threshold
+    * applied; band-sharing repeats NOT collapsed — the ranking window
+    * does that). Exposed so [[matchPairsComposite]] can union it with
+    * the block-key candidate set. */
+  def scoredPairsLshBlocked(
+      left: DataFrame,
+      right: DataFrame,
+      cfg: MatchConfig,
+      idCol: String = "id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
     val parts = left.sparkSession.sessionState.conf.numShufflePartitions
     val scorer = FuzzFunctions.scorer(cfg.scorer)
@@ -463,12 +480,37 @@ object Matcher {
     val digitsS = Scores.digitsScoreArrays(col("left_digit_runs"), col("right_digit_runs"))
     val conf = Scores.combine(textS, digitsS, lit(null).cast("double"),
       cfg.wText, cfg.wDigits, cfg.wGeo)
-    rankTopKDistinct(
-      joined.withColumn("score", conf)
-        .filter(col("score") >= cfg.thresholdScaled)
-        .select(col("left_id"), col("right_id"), col("score")),
-      cfg.topk)
+    joined.withColumn("score", conf)
+      .filter(col("score") >= cfg.thresholdScaled)
+      .select(col("left_id"), col("right_id"), col("score"))
   }
+
+  /** COMPOSITE candidate generation — the north-star phrase made
+    * literal: candidates from the derived block key (`cfg.blockBy`)
+    * UNION candidates from MinHash-LSH banding, one ranking over both.
+    * The generators are complementary — prefix/digit keys anchor on
+    * the string head and never miss an exact-prefix pair regardless of
+    * overall similarity; banding anchors on whole-string shingle
+    * similarity and never misses a near-dup regardless of where it
+    * differs. A pair surfaced by both arrives with the SAME
+    * (deterministic) score and collapses to one top-k slot in
+    * [[rankTopKDistinct]] — no cross-generator dedup shuffle. Text
+    * corpora only (the LSH leg carries no geo columns): `hasGeo` stays
+    * false on both legs so the combine arithmetic is identical. */
+  def matchPairsComposite(
+      left: DataFrame,
+      right: DataFrame,
+      cfg: MatchConfig,
+      idCol: String = "id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame =
+    rankTopKDistinct(
+      scoredPairs(left, right, cfg, idCol, textCol, hasGeo = false)
+        .unionByName(scoredPairsLshBlocked(
+          left, right, cfg, idCol, textCol, shingleK, numHashes, bands)),
+      cfg.topk)
 
   /** Write a side as a parquet table BUCKETED (and sorted) by its
     * derived block key — the co-location contract for
