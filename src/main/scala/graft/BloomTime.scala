@@ -59,6 +59,9 @@ object BloomTime {
       val t0 = System.nanoTime()
       val n = Matcher.matchPairs(probe, corpus, cfg,
         idCol = "conv_id", textCol = "text_norm").count()
+      // wall time captured BEFORE the metric-settle polling below — the
+      // poll sleeps must not leak into the off-vs-on comparison
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
       // listener events are delivered async (and the bus drain API is
       // private[spark]); poll until the counters stop moving instead
       var settled = false
@@ -71,7 +74,7 @@ object BloomTime {
         last = now
       }
       System.err.println(f"[bloomtime] $label run$run: " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2fs " +
+        f"$elapsedSec%.2fs " +
         f"shuffleMB=${shuffleBytes.get / 1048576.0}%.1f " +
         f"shuffleRows=${shuffleRecs.get} matches=$n")
     }

@@ -291,41 +291,21 @@ object ExtraQueries {
     s"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '' AND t IN (${ws.map(w => s"'$w'").mkString(",")})))"
 
   /** The d_minhash_pairs oracle statement, shared with the
-    * d_minhash_clusters oracle (which embeds it as a CTE). */
+    * d_minhash_clusters oracle (which embeds it as a CTE). The
+    * shingle→signature→band chain comes from
+    * [[Dedup.minhashBandsSqlDuck]] (single home for the mirror
+    * arithmetic, shared with the m_match_lsh/m_match_comp oracles);
+    * `keepShingles` carries the shingle sets through for the exact
+    * Jaccard verify. */
   private def minhashPairsSqlDuck: String = {
-    val consts = Dedup.mhSeedConsts.take(16).mkString("[", ", ", "]")
+    val bandsCte = Dedup.minhashBandsSqlDuck(
+      "documents", "doc_id", "text", Nil,
+      k = 5, numHashes = 16, bands = 4, keepShingles = true)
     s"""
-      |WITH sh AS (
-      |  SELECT doc_id,
-      |         list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 0)),
-      |                       i -> substring(text, CAST(i AS INT), 5))) AS sh
-      |  FROM documents
-      |), hs AS (
-      |  SELECT doc_id, sh,
-      |         list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
-      |  FROM sh WHERE len(sh) > 0
-      |), sig AS (
-      |  SELECT doc_id, sh,
-      |         list_transform(generate_series(0, 15), seed ->
-      |           list_min(
-      |             list_transform(
-      |               list_transform(
-      |                 list_transform(
-      |                   list_transform(hs, h -> xor(h, $consts[CAST(seed+1 AS INT)])),
-      |                   x -> xor(x, (x & ${(1L << 47) - 1}) << 13)),
-      |                 x -> xor(x, x >> 29)),
-      |               x -> xor(x, (x & ${(1L << 43) - 1}) << 17)))) AS sig
-      |  FROM hs
-      |), bands AS (
-      |  SELECT doc_id, sh,
-      |         unnest(list_transform(generate_series(0, 3), b ->
-      |           CAST(b AS STRING) || '|' ||
-      |           md5(array_to_string(list_transform(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)],
-      |                                              x -> CAST(x AS STRING)), '_')))) AS band
-      |  FROM sig
-      |), cand AS (
+      |WITH $bandsCte
+      |, cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+      |  FROM mb_bands a JOIN mb_bands b ON a.band = b.band AND a.doc_id < b.doc_id
       |)
       |SELECT id_a, id_b,
       |       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /

@@ -124,6 +124,11 @@ object Dedup {
     * key = md5 of the band's joined values. Two docs sharing any band
     * key are candidates. */
   def bandKeys(sigCol: Column, bands: Int, numHashes: Int): Column = {
+    // a non-dividing bands count would silently ignore the trailing
+    // signature elements (and diverge from the DuckDB mirror, which
+    // rejects it at construction) — fail fast instead
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
     val rowsPerBand = numHashes / bands
     transform(sequence(lit(0), lit(bands - 1)), b =>
       concat(b.cast("string"), lit("|"),
@@ -139,20 +144,24 @@ object Dedup {
     * digit-for-digit [[shingles]] + [[minhashSignature]] + [[bandKeys]]
     * (same premasked xorshift steps, same per-seed constants), so any
     * oracle built on it hashes against the Spark side bit-for-bit —
-    * shared by the LSH-blocked match oracle (SparkEntry `m_match_lsh`);
-    * the dedup oracle in ExtraQueries predates it and spells the same
-    * SQL inline. */
+    * shared by the LSH-blocked match oracle (SparkEntry `m_match_lsh`,
+    * `m_match_comp`) and the dedup oracles (`keepShingles = true`
+    * carries the shingle set through to the final relation for the
+    * exact-Jaccard verify join). */
   def minhashBandsSqlDuck(
       fromRelation: String, idCol: String, textCol: String,
       carryCols: Seq[String], k: Int, numHashes: Int, bands: Int,
-      p: String = "mb_"): String = {
+      p: String = "mb_", keepShingles: Boolean = false): String = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     requireSeeds(numHashes)
     val rpb = numHashes / bands
     val consts = mhSeedConsts.take(numHashes).mkString("[", ", ", "]")
-    val carry = carryCols.map(c => s"$c, ").mkString
+    // the sh CTE COMPUTES the shingle column, so it carries only the
+    // caller's columns; downstream CTEs add sh when keepShingles
+    val carry0 = carryCols.map(c => s"$c, ").mkString
+    val carry = carry0 + (if (keepShingles) "sh, " else "")
     s"""${p}sh AS (
-       |  SELECT $idCol, $carry$textCol,
+       |  SELECT $idCol, $carry0$textCol,
        |         list_distinct(list_transform(generate_series(1, greatest(length($textCol)-${k - 1}, 0)),
        |                       i -> substring($textCol, CAST(i AS INT), $k))) AS sh
        |  FROM $fromRelation

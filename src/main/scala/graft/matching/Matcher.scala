@@ -158,22 +158,12 @@ object Matcher {
              else Nil): _*)
     }
 
-    /** Post-exchange per-row derivations (J5 right-side precompute,
-      * generalized): computed once per shuffled ROW, never per PAIR. */
-    def heavyCols(df: DataFrame, side: String): DataFrame = {
-      var out = df.withColumn(s"${side}_digit_runs", Scores.digitRuns(col(s"${side}_text")))
-      if (preTok)
-        out = out.withColumn(s"${side}_tokset",
-          FuzzFunctions.sortedTokenSet(col(s"${side}_text")))
-      if (cfg.semanticStopwords.nonEmpty)
-        // match.py:81-84: token set minus semantic stopwords
-        out = out.withColumn(s"${side}_toks",
-          array_except(
-            array_distinct(filter(split(col(s"${side}_text"), "\\s+"), t => t =!= "")),
-            lit(cfg.semanticStopwords.toArray)))
-      out
-    }
+    def heavyCols(df: DataFrame, side: String): DataFrame =
+      heavyRowCols(df, side, cfg, preTok)
 
+    require(cfg.bloomPregateItems <= 0 ||
+      cfg.bloomPregateSide == "left" || cfg.bloomPregateSide == "right",
+      s"bloomPregateSide must be 'left' or 'right': '${cfg.bloomPregateSide}'")
     // The bloom pregate thins the big side BEFORE any exchange (and
     // before salting's flag join / replication), so every downstream
     // stage — including the hot-key replication, the costliest bytes in
@@ -402,6 +392,25 @@ object Matcher {
       .select(col("left_id"), col("right_id"), col("score"))
   }
 
+  /** Post-exchange per-row derivations (J5 right-side precompute,
+    * generalized): computed once per shuffled ROW, never per PAIR —
+    * shared by every candidate generator (block join, LSH band join)
+    * so the derivation set cannot diverge between paths. */
+  private def heavyRowCols(
+      df: DataFrame, side: String, cfg: MatchConfig, preTok: Boolean): DataFrame = {
+    var out = df.withColumn(s"${side}_digit_runs", Scores.digitRuns(col(s"${side}_text")))
+    if (preTok)
+      out = out.withColumn(s"${side}_tokset",
+        FuzzFunctions.sortedTokenSet(col(s"${side}_text")))
+    if (cfg.semanticStopwords.nonEmpty)
+      // match.py:81-84: token set minus semantic stopwords
+      out = out.withColumn(s"${side}_toks",
+        array_except(
+          array_distinct(filter(split(col(s"${side}_text"), "\\s+"), t => t =!= "")),
+          lit(cfg.semanticStopwords.toArray)))
+    out
+  }
+
   /** Block on MinHash-LSH band keys instead of a derived prefix key —
     * the north-star's composite candidate generation ("token q-grams +
     * MinHash-LSH banding over concatenated turn text") as a first-class
@@ -452,6 +461,7 @@ object Matcher {
       shingleK: Int = 5,
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val parts = left.sparkSession.sessionState.conf.numShufflePartitions
     val scorer = FuzzFunctions.scorer(cfg.scorer)
     val preTok = cfg.scorer.equalsIgnoreCase("token_set_ratio")
@@ -465,22 +475,24 @@ object Matcher {
         .withColumn("band", explode(Dedup.bandKeys(col("sig"), bands, numHashes)))
         .select(col("id").as(s"${side}_id"), col("t").as(s"${side}_text"), col("band"))
         .repartition(parts, col("band"))
-      // heavy per-row columns after the exchange (slim-shuffle rule)
-      val withDigits = slim.withColumn(
-        s"${side}_digit_runs", Scores.digitRuns(col(s"${side}_text")))
-      if (preTok)
-        withDigits.withColumn(s"${side}_tokset",
-          FuzzFunctions.sortedTokenSet(col(s"${side}_text")))
-      else withDigits
+      // heavy per-row columns after the exchange (slim-shuffle rule) —
+      // the same derivation set as the block join, so cfg semantics
+      // (incl. the stopword pregate's token column) cannot diverge
+      heavyRowCols(slim, side, cfg, preTok)
     }
     val joined = banded(left, "left").join(banded(right, "right"), Seq("band"), "inner")
+    // same cheap pregate the block path applies before the scorer
+    val gated =
+      if (cfg.semanticStopwords.nonEmpty)
+        joined.filter(arrays_overlap(col("left_toks"), col("right_toks")))
+      else joined
     val textS =
       if (preTok) FuzzFunctions.token_set_ratio_pretok(col("left_tokset"), col("right_tokset"))
       else scorer(col("left_text"), col("right_text"))
     val digitsS = Scores.digitsScoreArrays(col("left_digit_runs"), col("right_digit_runs"))
     val conf = Scores.combine(textS, digitsS, lit(null).cast("double"),
       cfg.wText, cfg.wDigits, cfg.wGeo)
-    joined.withColumn("score", conf)
+    gated.withColumn("score", conf)
       .filter(col("score") >= cfg.thresholdScaled)
       .select(col("left_id"), col("right_id"), col("score"))
   }

@@ -128,8 +128,16 @@ class PlanSpec extends SparkSpec {
     // the shingle array itself
     assert(p.contains("partial_min") || p.contains("Partial"),
       s"signature min-agg not map-side partial:\n$p")
-    val exchangeRows = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
-    assert(!exchangeRows.contains("sh#"), s"shingle array shuffled:\n$exchangeRows")
+    // formatted explain puts each operator's attributes in its own
+    // detail section ("(N) Exchange" header, then Input/Arguments
+    // lines) — scan those sections, not the bare tree lines (which
+    // never carry attribute names)
+    val sections = p.split("\\n(?=\\(\\d+\\) )")
+    val exchanges = sections.filter(
+      _.linesIterator.nextOption().exists(h => h.matches("""\(\d+\) .*Exchange.*""")))
+    assert(exchanges.nonEmpty, s"no Exchange detail sections found:\n$p")
+    val offending = exchanges.filter(_.contains("sh#"))
+    assert(offending.isEmpty, s"shingle array shuffled:\n${offending.mkString("\n---\n")}")
   }
 
   test("salted match plan: hot keys broadcast-joined, no isin literals") {

@@ -156,8 +156,10 @@ class MatcherSpec extends SparkSpec {
       idCol = "conv_id", textCol = "text_norm").cache()
     val (tpB, tpL, tpC) = (tp(block), tp(lsh), tp(comp))
     info(s"true pairs: block=$tpB lsh=$tpL composite=$tpC")
-    // the union of candidate sets can only widen what the ranking sees
-    // (measured on the fixture: 995 vs 984/993)
+    // NOT an invariant — a higher-scoring false pair from one generator
+    // can displace a true pair from another's top-k — but on this
+    // pinned fixture + config the union strictly helps (measured 995 vs
+    // 984/993); a failure here means the generators or scoring changed
     assert(tpC >= tpB && tpC >= tpL, s"composite $tpC lost pairs vs $tpB/$tpL")
     // and emits nothing either generator's scored set didn't propose
     val unionScored = Matcher.scoredPairs(left, right, c,
