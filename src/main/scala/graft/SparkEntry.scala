@@ -94,10 +94,11 @@ object SparkEntry {
     * band-sharing pairs (the Spark side's score-time pair collapse is
     * equivalent because scores are deterministic); scoring/ranking is
     * the [[matchJwOracle]] shape verbatim. */
-  private def matchLshOracle: String = withCtes {
+  private def matchLshOracleWith(shingleSqlOverride: Option[String]): String = withCtes {
     val bandsCte = graft.dedup.Dedup.minhashBandsSqlDuck(
       "conv_norm", "conv_id", "text_norm", Seq("variant"),
-      k = 5, numHashes = 16, bands = 4)
+      k = 5, numHashes = 16, bands = 4,
+      shingleSqlOverride = shingleSqlOverride)
     val ds = graft.similarity.Scores.digitsScoreSqlDuck("lt", "rt")
     s"""
        |, $bandsCte
@@ -122,6 +123,11 @@ object SparkEntry {
        |SELECT left_id, right_id, score FROM ranked WHERE rn <= 3
        |""".stripMargin
   }
+
+  private def matchLshOracle: String = matchLshOracleWith(None)
+
+  private def matchLshTokOracle: String = matchLshOracleWith(
+    Some(graft.dedup.Dedup.tokenShinglesSqlDuck("text_norm", 2)))
 
   /** DuckDB mirror of the composite match (`m_match_comp`): block-key
     * pairs UNION band pairs (DISTINCT — Spark's cross-generator repeats
@@ -320,6 +326,18 @@ object SparkEntry {
         conv.filter(col("variant") > 0),
         MatchConfig.reference.copy(scorer = "jaro_winkler"),
         idCol = "conv_id", textCol = "text_norm")
+    }),
+    // Same LSH-banded match over TOKEN 2-grams (the north-star's
+    // "token q-grams" shingle family; m_match_lsh is the char-5-gram
+    // reading).
+    "m_match_lsh_tok" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      Matcher.matchPairsLshBlocked(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        MatchConfig.reference.copy(scorer = "jaro_winkler"),
+        idCol = "conv_id", textCol = "text_norm",
+        shingleK = 2, shingleMode = "token")
     }),
     // COMPOSITE blocking (north-star phrase literal): block-key
     // candidates UNION band candidates, one ranking over both.
@@ -638,6 +656,7 @@ object SparkEntry {
     // match SQL verbatim (see the queries entry)
     "m_match_bloom" -> matchJwOracle,
     "m_match_lsh" -> matchLshOracle,
+    "m_match_lsh_tok" -> matchLshTokOracle,
     "m_match_comp" -> matchCompositeOracle,
     "m_unmatched_left" -> withCtes(
       s"""

@@ -62,6 +62,31 @@ object Dedup {
       .otherwise(lit(Array.empty[String]))
   }
 
+  /** TOKEN q-gram shingles (distinct): q-grams over whitespace tokens,
+    * re-joined by a single space — the north-star's "token q-grams"
+    * reading, where [[shingles]] is the character k-gram reading.
+    * Fewer than q tokens yields an EMPTY array; null in -> null out.
+    * Tokenization matches the scorer family's (split on `\s+`, empties
+    * dropped), so the same normalization governs both. */
+  def tokenShingles(c: Column, q: Int): Column = {
+    val toks = filter(split(c, "\\s+"), t => t =!= "")
+    val n = size(toks) - (q - 1)
+    when(c.isNull, lit(null).cast("array<string>"))
+      .when(n >= 1,
+        array_distinct(transform(sequence(lit(1), n),
+          i => array_join(slice(toks, i, lit(q)), " "))))
+      .otherwise(lit(Array.empty[String]))
+  }
+
+  /** DuckDB mirror of [[tokenShingles]], for
+    * [[minhashBandsSqlDuck]]'s `shingleSqlOverride`. */
+  def tokenShinglesSqlDuck(textCol: String, q: Int): String = {
+    val toks = s"list_filter(string_split_regex($textCol, '\\s+'), t -> t <> '')"
+    s"""list_distinct(list_transform(generate_series(1, greatest(len($toks)-${q - 1}, 0)),
+       |                             i -> array_to_string(($toks)[i:i+${q - 1}], ' ')))""".stripMargin
+      .replaceAll("\n\\s*", " ")
+  }
+
   /** Seeded 60-bit hash family over ONE md5-derived base hash:
     * h_seed(s) = xorshift60(h0(s) XOR C_seed), with h0 = first 60 bits
     * of md5(s) and C_seed a fixed 60-bit constant per seed (md5 of the
@@ -151,7 +176,8 @@ object Dedup {
   def minhashBandsSqlDuck(
       fromRelation: String, idCol: String, textCol: String,
       carryCols: Seq[String], k: Int, numHashes: Int, bands: Int,
-      p: String = "mb_", keepShingles: Boolean = false): String = {
+      p: String = "mb_", keepShingles: Boolean = false,
+      shingleSqlOverride: Option[String] = None): String = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     requireSeeds(numHashes)
     val rpb = numHashes / bands
@@ -160,10 +186,14 @@ object Dedup {
     // caller's columns; downstream CTEs add sh when keepShingles
     val carry0 = carryCols.map(c => s"$c, ").mkString
     val carry = carry0 + (if (keepShingles) "sh, " else "")
+    // default: character k-shingles ([[shingles]]); override for other
+    // shingle families (e.g. [[tokenShinglesSqlDuck]])
+    val shingleSql = shingleSqlOverride.getOrElse(
+      s"""list_distinct(list_transform(generate_series(1, greatest(length($textCol)-${k - 1}, 0)),
+         |                       i -> substring($textCol, CAST(i AS INT), $k)))""".stripMargin)
     s"""${p}sh AS (
        |  SELECT $idCol, $carry0$textCol,
-       |         list_distinct(list_transform(generate_series(1, greatest(length($textCol)-${k - 1}, 0)),
-       |                       i -> substring($textCol, CAST(i AS INT), $k))) AS sh
+       |         $shingleSql AS sh
        |  FROM $fromRelation
        |), ${p}hs AS (
        |  SELECT $idCol, $carry$textCol,

@@ -443,9 +443,11 @@ object Matcher {
       textCol: String = "text",
       shingleK: Int = 5,
       numHashes: Int = 16,
-      bands: Int = 4): DataFrame =
+      bands: Int = 4,
+      shingleMode: String = "char"): DataFrame =
     rankTopKDistinct(
-      scoredPairsLshBlocked(left, right, cfg, idCol, textCol, shingleK, numHashes, bands),
+      scoredPairsLshBlocked(left, right, cfg, idCol, textCol, shingleK, numHashes,
+        bands, shingleMode),
       cfg.topk)
 
   /** The scored-but-unranked LSH-banded candidate set (threshold
@@ -460,14 +462,23 @@ object Matcher {
       textCol: String = "text",
       shingleK: Int = 5,
       numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      shingleMode: String = "char"): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    // "char": k-character shingles; "token": q-grams of whitespace
+    // tokens (shingleK = q) — the north-star's "token q-grams" family
+    val shingleOf: Column => Column = shingleMode match {
+      case "char" => Dedup.shingles(_, shingleK)
+      case "token" => Dedup.tokenShingles(_, shingleK)
+      case other => throw new IllegalArgumentException(
+        s"shingleMode must be 'char' or 'token': '$other'")
+    }
     val parts = left.sparkSession.sessionState.conf.numShufflePartitions
     val scorer = FuzzFunctions.scorer(cfg.scorer)
     val preTok = cfg.scorer.equalsIgnoreCase("token_set_ratio")
     def banded(df: DataFrame, side: String): DataFrame = {
       val base = df.select(col(idCol).as("id"), col(textCol).as("t"))
-        .withColumn("sh", Dedup.shingles(col("t"), shingleK))
+        .withColumn("sh", shingleOf(col("t")))
         .filter(size(col("sh")) > 0)
       val slim = base.select(col("id"), col("t"))
         .join(Dedup.minhashSignatureRelational(
@@ -517,11 +528,12 @@ object Matcher {
       textCol: String = "text",
       shingleK: Int = 5,
       numHashes: Int = 16,
-      bands: Int = 4): DataFrame =
+      bands: Int = 4,
+      shingleMode: String = "char"): DataFrame =
     rankTopKDistinct(
       scoredPairs(left, right, cfg, idCol, textCol, hasGeo = false)
         .unionByName(scoredPairsLshBlocked(
-          left, right, cfg, idCol, textCol, shingleK, numHashes, bands)),
+          left, right, cfg, idCol, textCol, shingleK, numHashes, bands, shingleMode)),
       cfg.topk)
 
   /** Write a side as a parquet table BUCKETED (and sorted) by its

@@ -12,6 +12,23 @@ class DedupSpec extends SparkSpec {
     (i.toLong, if (i % 2 == 0) base else base + " indeed")
   }.toDF("doc_id", "text")
 
+  test("tokenShingles: q-grams over tokens, whitespace-robust, short/empty/null handling") {
+    val rows = Seq(
+      ("a", "alpha beta gamma"),   // 3 tokens, q=2 -> 2 grams
+      ("b", "  alpha   beta "),    // ragged whitespace -> same tokens
+      ("c", "alpha"),              // 1 token < q -> empty
+      ("d", ""),                   // no tokens -> empty
+      ("e", null.asInstanceOf[String]), // null -> null
+      ("f", "x y x y")             // repeat gram deduped
+    ).toDF("id", "t").withColumn("sh", Dedup.tokenShingles(col("t"), 2))
+    val got = rows.select("id", "sh").as[(String, Seq[String])].collect().toMap
+    assert(got("a") == Seq("alpha beta", "beta gamma"))
+    assert(got("b") == Seq("alpha beta"))
+    assert(got("c") == Seq.empty && got("d") == Seq.empty)
+    assert(got("e") == null)
+    assert(got("f").sorted == Seq("x y", "y x"))
+  }
+
   test("relational MinHash signatures equal the array-expression signatures") {
     val withSh = docs.select(col("doc_id").as("id"), col("text").as("t"))
       .withColumn("sh", Dedup.shingles(col("t"), 5))
