@@ -599,11 +599,17 @@ object ExtraQueries {
       |""".stripMargin,
     // quantile_cont shares percentile's rank = p·(n−1) linear
     // interpolation; both sides round to 6 dp
+    // outer IS NOT NULL filter aligns the empty/all-null-input shape
+    // with Spark: percentile over no values yields a null array there
+    // (posexplode -> 0 rows), while DuckDB's grand aggregate still
+    // emits one NULL row per branch
     "g_quantiles" -> """
-      |SELECT 0 AS i, round(quantile_cont(length(text), 0.25), 6) AS q FROM documents
-      |UNION ALL SELECT 1, round(quantile_cont(length(text), 0.50), 6) FROM documents
-      |UNION ALL SELECT 2, round(quantile_cont(length(text), 0.75), 6) FROM documents
-      |UNION ALL SELECT 3, round(quantile_cont(length(text), 0.95), 6) FROM documents
+      |SELECT * FROM (
+      |  SELECT 0 AS i, round(quantile_cont(length(text), 0.25), 6) AS q FROM documents
+      |  UNION ALL SELECT 1, round(quantile_cont(length(text), 0.50), 6) FROM documents
+      |  UNION ALL SELECT 2, round(quantile_cont(length(text), 0.75), 6) FROM documents
+      |  UNION ALL SELECT 3, round(quantile_cont(length(text), 0.95), 6) FROM documents
+      |) WHERE q IS NOT NULL
       |""".stripMargin,
     "g_token_freq" -> """
       |SELECT token, count(*) AS cnt FROM (

@@ -33,14 +33,22 @@ object TableIO {
 
   private def tableDir(root: String, table: String): Path = Paths.get(root, table)
 
+  /** `Files.list`/`Files.walk` return streams backed by an open
+    * directory fd that is released only by close() — a long-lived
+    * streaming driver folding thousands of micro-batches would
+    * otherwise leak one fd per listing until the ulimit kills commits. */
+  private def listDir[A](d: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(d)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   private def snapshots(root: String, table: String): Seq[Long] = {
     val d = tableDir(root, table)
     if (!Files.isDirectory(d)) Nil
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
+    else listDir(d)(_.map(_.getFileName.toString)
       .filter(_.startsWith("snapshot="))
       .map(_.stripPrefix("snapshot=").toLong)
-      .toSeq.sorted
+      .toSeq).sorted
   }
 
   def latestSnapshotId(root: String, table: String): Option[Long] =
@@ -90,8 +98,8 @@ object TableIO {
     // thread pool). The previous form ran one whole Spark job per file —
     // invisible here, but a 100-TB commit writes 10^4-10^5 files and
     // that becomes 10^4-10^5 sequential jobs at every commit.
-    val files = Files.list(tmp).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val files = listDir(tmp)(
+      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).sortBy(_.toString)
     val hadoopConf = spark.sessionState.newHadoopConf()
     val perFile = parallelMap(files) { f =>
       (f.getFileName.toString, footerRowCount(f, hadoopConf), Files.size(f))
@@ -167,7 +175,7 @@ object TableIO {
       // manifest-less dir as uncommitted and skips it
       Files.deleteIfExists(dir.resolve("manifest.json"))
       if (Files.isDirectory(dir)) {
-        Files.list(dir).iterator().asScala.foreach(Files.deleteIfExists(_))
+        listDir(dir)(_.foreach(Files.deleteIfExists(_)))
         Files.deleteIfExists(dir)
       }
     }
@@ -180,15 +188,16 @@ object TableIO {
             val kids = Files.list(p)
             try kids.iterator().asScala.forall(allStale) finally kids.close()
           })
-      Files.list(td).iterator().asScala
+      listDir(td)(_
         .filter(p => p.getFileName.toString.startsWith("_tmp_") &&
           (try allStale(p) catch { case _: Exception => false }))
         .foreach { p =>
           try {
-            Files.walk(p).iterator().asScala.toSeq.reverse
-              .foreach(Files.deleteIfExists(_))
+            val w = Files.walk(p)
+            val paths = try w.iterator().asScala.toSeq finally w.close()
+            paths.reverse.foreach(Files.deleteIfExists(_))
           } catch { case _: Exception => () }
-        }
+        })
     }
     expire
   }

@@ -253,10 +253,14 @@ object Matcher {
               .createDataset(keys.distinct)(org.apache.spark.sql.Encoders.STRING)
               .toDF("block_key")
           case _ =>
+            // sort before limit for the same reason as the snapshot
+            // branch above: the capped subset must be deterministic
+            // across the two evaluations of the hot-flag subplan
             l0.groupBy("block_key").agg(count(lit(1)).as("nl"))
               .join(r0.groupBy("block_key").agg(count(lit(1)).as("nr")), "block_key")
               .filter(col("nl") * col("nr") >= cfg.saltHotPairs)
               .select("block_key")
+              .sort("block_key")
               .limit(1000000)
         }
         saltedJoin(broadcast(hotDf.withColumn("__is_hot", lit(true))))

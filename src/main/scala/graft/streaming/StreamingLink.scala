@@ -62,14 +62,23 @@ object StreamingLink {
       textCol: String = "text",
       hasGeo: Boolean = false,
       batchId: Long = 0L,
-      keepSnapshots: Int = 2): Unit = {
+      keepSnapshots: Int = 2,
+      ccMaxIter: Int = 25,
+      ccCheckEvery: Int = 1): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     // scoredPairs returns exactly (left_id, right_id, score); it feeds
     // both tables below — cut the plan once so the block join runs one
-    // time per batch, not once per sink table
+    // time per batch, not once per sink table. This leg is
+    // huge-committed-LEFT × small-batch-RIGHT, so when the bloom
+    // pregate is on the sketch must be built over the BATCH and thin
+    // the corpus — the "left" orientation, same flip
+    // matchPairsIncremental applies to its old × new leg; inheriting
+    // the caller's per-ingest default ("right") would scan the whole
+    // corpus to build a sketch that thins the already-tiny batch.
     val scoredMat = Matcher
-      .scoredPairs(left, batch, cfg, idCol, textCol, hasGeo)
+      .scoredPairs(left, batch, cfg.copy(bloomPregateSide = "left"),
+        idCol, textCol, hasGeo)
       .localCheckpoint(true)
 
     val matches = TableIO.latestSnapshotId(root, "matches") match {
@@ -84,15 +93,23 @@ object StreamingLink {
 
     // strict: an unconverged CC result must FAIL the batch (streaming
     // retries it) — committing it would bake wrong components into the
-    // prior star set of every subsequent fold, with no signal
+    // prior star set of every subsequent fold, with no signal. The
+    // matches table above is already committed when that throw happens;
+    // that divergence is safe (retries re-commit idempotent matches
+    // content and clusters catches up on the batch that converges) but
+    // external readers joining the two tables can observe matches a
+    // batch ahead of clusters until then. ccMaxIter/ccCheckEvery are
+    // the remediation knobs the strict error message names — a graph
+    // that legitimately needs more rounds raises them here.
     val clusters = TableIO.latestSnapshotId(root, "clusters") match {
       case Some(_) =>
         ConnectedComponents.runIncremental(
           TableIO.readTable(spark, root, "clusters"), scoredMat,
-          "left_id", "right_id", strict = true)
+          "left_id", "right_id", maxIter = ccMaxIter,
+          checkEvery = ccCheckEvery, strict = true)
       case None =>
         ConnectedComponents.run(scoredMat, "left_id", "right_id",
-          strict = true)
+          maxIter = ccMaxIter, checkEvery = ccCheckEvery, strict = true)
     }
     TableIO.commitSnapshot(clusters, root, "clusters",
       Map("stage" -> "clusters", "batch" -> batchId.toString))
@@ -123,10 +140,12 @@ object StreamingLink {
       idCol: String = "id",
       textCol: String = "text",
       hasGeo: Boolean = false,
-      keepSnapshots: Int = 2): StreamingQuery = {
+      keepSnapshots: Int = 2,
+      ccMaxIter: Int = 25,
+      ccCheckEvery: Int = 1): StreamingQuery = {
     val fold: (Dataset[Row], Long) => Unit = (batch, id) =>
       foldBatch(batch.toDF(), left, cfg, root, idCol, textCol, hasGeo, id,
-        keepSnapshots)
+        keepSnapshots, ccMaxIter, ccCheckEvery)
     rightStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(fold)
