@@ -480,22 +480,57 @@ object Matcher {
     val parts = left.sparkSession.sessionState.conf.numShufflePartitions
     val scorer = FuzzFunctions.scorer(cfg.scorer)
     val preTok = cfg.scorer.equalsIgnoreCase("token_set_ratio")
-    def banded(df: DataFrame, side: String): DataFrame = {
+    // slim pre-shuffle rows: (id, text, band) only; heavy per-row
+    // columns are derived AFTER the exchange (same derivation set as
+    // the block join, so cfg semantics — incl. the stopword pregate's
+    // token column — cannot diverge)
+    def bandedSlim(df: DataFrame, side: String): DataFrame = {
       val base = df.select(col(idCol).as("id"), col(textCol).as("t"))
         .withColumn("sh", shingleOf(col("t")))
         .filter(size(col("sh")) > 0)
-      val slim = base.select(col("id"), col("t"))
+      base.select(col("id"), col("t"))
         .join(Dedup.minhashSignatureRelational(
           base.select(col("id"), col("sh")), numHashes), "id")
         .withColumn("band", explode(Dedup.bandKeys(col("sig"), bands, numHashes)))
         .select(col("id").as(s"${side}_id"), col("t").as(s"${side}_text"), col("band"))
-        .repartition(parts, col("band"))
-      // heavy per-row columns after the exchange (slim-shuffle rule) —
-      // the same derivation set as the block join, so cfg semantics
-      // (incl. the stopword pregate's token column) cannot diverge
-      heavyRowCols(slim, side, cfg, preTok)
     }
-    val joined = banded(left, "left").join(banded(right, "right"), Seq("band"), "inner")
+    val lSlim = bandedSlim(left, "left")
+    val rSlim = bandedSlim(right, "right")
+    // Hot-BAND salting, the twin of the block join's targeted salting
+    // (saltedJoin above): a band key shared by a boilerplate-heavy slab
+    // of the corpus makes the band join quadratic in that slab — at
+    // 10^12 turns the hot band, not the average one, decides the
+    // stage's wall clock. Same knobs (saltBuckets/saltHotPairs), same
+    // mechanics (detected hot set sorted+capped, broadcast as a flag,
+    // left salted by hash(left_id), right replicated only for hot
+    // bands), same exactness (tested: bit-identical output).
+    val joined =
+      if (cfg.saltBuckets > 1) {
+        val s = cfg.saltBuckets
+        val hotFlag = broadcast(
+          lSlim.groupBy("band").agg(count(lit(1)).as("nl"))
+            .join(rSlim.groupBy("band").agg(count(lit(1)).as("nr")), "band")
+            .filter(col("nl") * col("nr") >= cfg.saltHotPairs)
+            .select("band").sort("band").limit(1000000)
+            .withColumn("__is_hot", lit(true)))
+        val lSalt = heavyRowCols(
+          lSlim.join(hotFlag, Seq("band"), "left")
+            .withColumn("salt",
+              when(col("__is_hot"), pmod(hash(col("left_id")), lit(s))).otherwise(lit(0)))
+            .drop("__is_hot")
+            .repartition(parts, col("band"), col("salt")), "left", cfg, preTok)
+        val rSalt = heavyRowCols(
+          rSlim.join(hotFlag, Seq("band"), "left")
+            .withColumn("salt",
+              explode(sequence(lit(0),
+                when(col("__is_hot"), lit(s - 1)).otherwise(lit(0)))))
+            .drop("__is_hot")
+            .repartition(parts, col("band"), col("salt")), "right", cfg, preTok)
+        lSalt.join(rSalt, Seq("band", "salt"), "inner").drop("salt")
+      } else
+        heavyRowCols(lSlim.repartition(parts, col("band")), "left", cfg, preTok)
+          .join(heavyRowCols(rSlim.repartition(parts, col("band")), "right", cfg, preTok),
+            Seq("band"), "inner")
     // same cheap pregate the block path applies before the scorer
     val gated =
       if (cfg.semanticStopwords.nonEmpty)

@@ -143,6 +143,26 @@ class MatcherSpec extends SparkSpec {
     assert(shared.filter(col("score") =!= col("score_b")).count() == 0)
   }
 
+  test("LSH band salting preserves exact match semantics") {
+    val conv = graft.SparkEntry.convNorm(spark, sf0001).cache()
+    val left = conv.filter(col("variant") === 0)
+    val right = conv.filter(col("variant") > 0)
+    val c = MatchConfig.reference.copy(scorer = "jaro_winkler")
+    val plain = Matcher.matchPairsLshBlocked(left, right, c,
+      idCol = "conv_id", textCol = "text_norm")
+    // saltHotPairs = 1 forces EVERY band hot -> full replication path
+    val salted = Matcher.matchPairsLshBlocked(left, right,
+      c.copy(saltBuckets = 8, saltHotPairs = 1L),
+      idCol = "conv_id", textCol = "text_norm")
+    assert(plain.exceptAll(salted).count() == 0 && salted.exceptAll(plain).count() == 0)
+    // default threshold: no band is hot on this fixture -> degenerates
+    // to the plain path, still identical
+    val adaptive = Matcher.matchPairsLshBlocked(left, right,
+      c.copy(saltBuckets = 8),
+      idCol = "conv_id", textCol = "text_norm")
+    assert(plain.exceptAll(adaptive).count() == 0 && adaptive.exceptAll(plain).count() == 0)
+  }
+
   test("composite blocking: true-pair coverage >= each generator; every pair from the union") {
     val conv = graft.SparkEntry.convNorm(spark, sf0001).cache()
     val left = conv.filter(col("variant") === 0)
