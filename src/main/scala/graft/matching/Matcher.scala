@@ -213,23 +213,9 @@ object Matcher {
       heavyCols(l0.repartition(parts, col("block_key")), "left")
         .join(heavyCols(r0.repartition(parts, col("block_key")), "right"),
           Seq("block_key"), "inner")
-    def saltedJoin(hotFlag: DataFrame): DataFrame = {
-      val s = cfg.saltBuckets
-      val lSalt = heavyCols(
-        l0.join(hotFlag, Seq("block_key"), "left")
-          .withColumn("salt",
-            when(col("__is_hot"), pmod(hash(col("left_id")), lit(s))).otherwise(lit(0)))
-          .drop("__is_hot")
-          .repartition(parts, col("block_key"), col("salt")), "left")
-      val rSalt = heavyCols(
-        r0.join(hotFlag, Seq("block_key"), "left")
-          .withColumn("salt",
-            explode(sequence(lit(0),
-              when(col("__is_hot"), lit(s - 1)).otherwise(lit(0)))))
-          .drop("__is_hot")
-          .repartition(parts, col("block_key"), col("salt")), "right")
-      lSalt.join(rSalt, Seq("block_key", "salt"), "inner").drop("salt")
-    }
+    def saltedJoin(hotKeys: DataFrame): DataFrame =
+      targetedSaltedJoin(l0, r0, "block_key", hotKeys, cfg.saltBuckets, parts,
+        heavyCols(_, "left"), heavyCols(_, "right"))
     val joined =
       if (cfg.coPartitioned) coPartitionedJoin()
       else if (cfg.saltBuckets > 1) {
@@ -263,7 +249,7 @@ object Matcher {
               .sort("block_key")
               .limit(1000000)
         }
-        saltedJoin(broadcast(hotDf.withColumn("__is_hot", lit(true))))
+        saltedJoin(hotDf)
       } else plainJoin()
 
     // Cheap pregate BEFORE the scorer (predicate order preserved).
@@ -396,6 +382,39 @@ object Matcher {
       .select(col("left_id"), col("right_id"), col("score"))
   }
 
+  /** Targeted-salted equi-join, shared by the block join and the LSH
+    * band join: `hotKeys` (one column named `key`, pre-deduped and
+    * deterministic — sorted+capped by the caller) is broadcast as an
+    * `__is_hot` flag onto both sides; left rows of hot keys get
+    * salt = pmod(hash(left_id), S), right rows of hot keys are
+    * replicated S ways, cold rows keep salt 0 unreplicated, and the
+    * join runs on (key, salt). Exact same join semantics as unsalted
+    * (equivalence-tested on both call sites). `decorateL/R` insert the
+    * post-exchange per-row derivations after the explicit repartition
+    * so the shuffle carries slim rows. */
+  private def targetedSaltedJoin(
+      l: DataFrame, r: DataFrame, key: String, hotKeys: DataFrame,
+      saltBuckets: Int, parts: Int,
+      decorateL: DataFrame => DataFrame,
+      decorateR: DataFrame => DataFrame): DataFrame = {
+    val hotFlag = broadcast(hotKeys.withColumn("__is_hot", lit(true)))
+    val lSalt = decorateL(
+      l.join(hotFlag, Seq(key), "left")
+        .withColumn("salt",
+          when(col("__is_hot"), pmod(hash(col("left_id")), lit(saltBuckets)))
+            .otherwise(lit(0)))
+        .drop("__is_hot")
+        .repartition(parts, col(key), col("salt")))
+    val rSalt = decorateR(
+      r.join(hotFlag, Seq(key), "left")
+        .withColumn("salt",
+          explode(sequence(lit(0),
+            when(col("__is_hot"), lit(saltBuckets - 1)).otherwise(lit(0)))))
+        .drop("__is_hot")
+        .repartition(parts, col(key), col("salt")))
+    lSalt.join(rSalt, Seq(key, "salt"), "inner").drop("salt")
+  }
+
   /** Post-exchange per-row derivations (J5 right-side precompute,
     * generalized): computed once per shuffled ROW, never per PAIR —
     * shared by every candidate generator (block join, LSH band join)
@@ -506,27 +525,12 @@ object Matcher {
     // bands), same exactness (tested: bit-identical output).
     val joined =
       if (cfg.saltBuckets > 1) {
-        val s = cfg.saltBuckets
-        val hotFlag = broadcast(
-          lSlim.groupBy("band").agg(count(lit(1)).as("nl"))
-            .join(rSlim.groupBy("band").agg(count(lit(1)).as("nr")), "band")
-            .filter(col("nl") * col("nr") >= cfg.saltHotPairs)
-            .select("band").sort("band").limit(1000000)
-            .withColumn("__is_hot", lit(true)))
-        val lSalt = heavyRowCols(
-          lSlim.join(hotFlag, Seq("band"), "left")
-            .withColumn("salt",
-              when(col("__is_hot"), pmod(hash(col("left_id")), lit(s))).otherwise(lit(0)))
-            .drop("__is_hot")
-            .repartition(parts, col("band"), col("salt")), "left", cfg, preTok)
-        val rSalt = heavyRowCols(
-          rSlim.join(hotFlag, Seq("band"), "left")
-            .withColumn("salt",
-              explode(sequence(lit(0),
-                when(col("__is_hot"), lit(s - 1)).otherwise(lit(0)))))
-            .drop("__is_hot")
-            .repartition(parts, col("band"), col("salt")), "right", cfg, preTok)
-        lSalt.join(rSalt, Seq("band", "salt"), "inner").drop("salt")
+        val hotBands = lSlim.groupBy("band").agg(count(lit(1)).as("nl"))
+          .join(rSlim.groupBy("band").agg(count(lit(1)).as("nr")), "band")
+          .filter(col("nl") * col("nr") >= cfg.saltHotPairs)
+          .select("band").sort("band").limit(1000000)
+        targetedSaltedJoin(lSlim, rSlim, "band", hotBands, cfg.saltBuckets, parts,
+          heavyRowCols(_, "left", cfg, preTok), heavyRowCols(_, "right", cfg, preTok))
       } else
         heavyRowCols(lSlim.repartition(parts, col("band")), "left", cfg, preTok)
           .join(heavyRowCols(rSlim.repartition(parts, col("band")), "right", cfg, preTok),
