@@ -339,6 +339,28 @@ object SparkEntry {
         idCol = "conv_id", textCol = "text_norm",
         shingleK = 2, shingleMode = "token")
     }),
+    // Incremental re-match over the LSH-banded generator: conv corpus
+    // split by entity parity, prior = full LSH match of the old halves,
+    // fold = new-vs-all + old-vs-new LSH legs + prior, ranked once. The
+    // oracle is the FULL LSH-match SQL verbatim — equality IS the
+    // incremental-exactness proof (Matcher.matchPairsIncrementalLsh
+    // scaladoc).
+    "m_match_lsh_incr" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      val cfgJw = MatchConfig.reference.copy(scorer = "jaro_winkler")
+      val isOld = coalesce(
+        expr("try_cast(regexp_extract(conv_id, 'c([0-9]+)_', 1) AS BIGINT) % 2 = 0"),
+        lit(false))
+      val l = conv.filter(col("variant") === 0)
+      val r = conv.filter(col("variant") > 0)
+      val prior = Matcher.matchPairsLshBlocked(
+        l.filter(isOld), r.filter(isOld), cfgJw,
+        idCol = "conv_id", textCol = "text_norm")
+      Matcher.matchPairsIncrementalLsh(
+        l.filter(isOld), l.filter(not(isOld)),
+        r.filter(isOld), r.filter(not(isOld)),
+        prior, cfgJw, idCol = "conv_id", textCol = "text_norm")
+    }),
     // COMPOSITE blocking (north-star phrase literal): block-key
     // candidates UNION band candidates, one ranking over both.
     "m_match_comp" -> ((s, dir) => {
@@ -657,6 +679,9 @@ object SparkEntry {
     "m_match_bloom" -> matchJwOracle,
     "m_match_lsh" -> matchLshOracle,
     "m_match_lsh_tok" -> matchLshTokOracle,
+    // incremental LSH fold is provably = the full LSH match, so the
+    // oracle is the full-match SQL verbatim
+    "m_match_lsh_incr" -> matchLshOracle,
     "m_match_comp" -> matchCompositeOracle,
     "m_unmatched_left" -> withCtes(
       s"""

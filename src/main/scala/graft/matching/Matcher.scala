@@ -551,6 +551,42 @@ object Matcher {
       .select(col("left_id"), col("right_id"), col("score"))
   }
 
+  /** [[matchPairsIncremental]] over the LSH-banded generator: the
+    * proof carries verbatim because a pair's candidacy (sharing ≥ 1
+    * band) depends only on its two rows' band keys — the LSH candidate
+    * set of (L_old ∪ L_new) × (R_old ∪ R_new) decomposes into exactly
+    * the same old×old ∪ new×all ∪ old×new subspaces, scores are
+    * deterministic, and the prior top-k summarizes old×old (top-k-in-
+    * full ⇒ top-k-in-subset). Replay/upsert repeats collapse in
+    * [[rankTopKDistinct]] as before. `priorMatches` must come from the
+    * SAME generator parameters (shingleK/numHashes/bands/shingleMode)
+    * and config. */
+  def matchPairsIncrementalLsh(
+      leftOld: DataFrame,
+      leftNew: DataFrame,
+      rightOld: DataFrame,
+      rightNew: DataFrame,
+      priorMatches: DataFrame,
+      cfg: MatchConfig,
+      idCol: String = "id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleMode: String = "char"): DataFrame = {
+    val newVsAll = scoredPairsLshBlocked(
+      leftNew, rightOld.unionByName(rightNew), cfg, idCol, textCol,
+      shingleK, numHashes, bands, shingleMode)
+    val oldVsNew = scoredPairsLshBlocked(
+      leftOld, rightNew, cfg, idCol, textCol,
+      shingleK, numHashes, bands, shingleMode)
+    rankTopKDistinct(
+      priorMatches.select(col("left_id"), col("right_id"), col("score"))
+        .unionByName(newVsAll)
+        .unionByName(oldVsNew),
+      cfg.topk)
+  }
+
   /** COMPOSITE candidate generation — the north-star phrase made
     * literal: candidates from the derived block key (`cfg.blockBy`)
     * UNION candidates from MinHash-LSH banding, one ranking over both.
