@@ -46,7 +46,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * not in executor memory — the only shape that survives an unbounded
   * stream. Exactly-once to the snapshot tables comes from the manifest
   * lineage: a replayed batch id re-commits idempotent content (pair
-  * dedup + CC idempotence), never double-counts. */
+  * dedup + CC idempotence), never double-counts.
+  *
+  * The candidate `generator` is pluggable — "block" (derived block
+  * key, J3), "lsh" (MinHash-LSH banding, J23) or "composite" (union,
+  * J24) — because the drain-equality proof only needs candidacy to be
+  * a per-pair property, which all three generators satisfy. */
 object StreamingLink {
 
   /** Fold ONE micro-batch of right rows into the `matches` and
@@ -64,22 +69,47 @@ object StreamingLink {
       batchId: Long = 0L,
       keepSnapshots: Int = 2,
       ccMaxIter: Int = 25,
-      ccCheckEvery: Int = 1): Unit = {
+      ccCheckEvery: Int = 1,
+      generator: String = "block",
+      shingleK: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleMode: String = "char"): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    // scoredPairs returns exactly (left_id, right_id, score); it feeds
-    // both tables below — cut the plan once so the block join runs one
-    // time per batch, not once per sink table. This leg is
-    // huge-committed-LEFT × small-batch-RIGHT, so when the bloom
-    // pregate is on the sketch must be built over the BATCH and thin
-    // the corpus — the "left" orientation, same flip
+    // The scored candidate set returns exactly (left_id, right_id,
+    // score); it feeds both tables below — cut the plan once so the
+    // candidate join runs one time per batch, not once per sink table.
+    // The drain-equality proof is generator-independent: block-key and
+    // band candidacy are both per-pair properties, so the union of
+    // per-batch candidate sets IS the full candidate set and replays
+    // collapse in the deterministic re-rank ([[Matcher
+    // .matchPairsIncrementalLsh]] scaladoc for the banded case).
+    //
+    // Block leg: huge-committed-LEFT × small-batch-RIGHT, so when the
+    // bloom pregate is on the sketch must be built over the BATCH and
+    // thin the corpus — the "left" orientation, same flip
     // matchPairsIncremental applies to its old × new leg; inheriting
     // the caller's per-ingest default ("right") would scan the whole
     // corpus to build a sketch that thins the already-tiny batch.
-    val scoredMat = Matcher
-      .scoredPairs(left, batch, cfg.copy(bloomPregateSide = "left"),
-        idCol, textCol, hasGeo)
-      .localCheckpoint(true)
+    // LSH/composite legs follow matchPairsLshBlocked /
+    // matchPairsComposite (text-only; composite forces hasGeo=false on
+    // the block leg so the combine arithmetic matches its batch twin).
+    val scoredMat = (generator match {
+      case "block" =>
+        Matcher.scoredPairs(left, batch, cfg.copy(bloomPregateSide = "left"),
+          idCol, textCol, hasGeo)
+      case "lsh" =>
+        Matcher.scoredPairsLshBlocked(left, batch, cfg, idCol, textCol,
+          shingleK, numHashes, bands, shingleMode)
+      case "composite" =>
+        Matcher.scoredPairs(left, batch, cfg.copy(bloomPregateSide = "left"),
+          idCol, textCol, hasGeo = false)
+          .unionByName(Matcher.scoredPairsLshBlocked(left, batch, cfg,
+            idCol, textCol, shingleK, numHashes, bands, shingleMode))
+      case other => throw new IllegalArgumentException(
+        s"generator must be 'block', 'lsh' or 'composite': '$other'")
+    }).localCheckpoint(true)
 
     val matches = TableIO.latestSnapshotId(root, "matches") match {
       case Some(_) =>
@@ -142,10 +172,16 @@ object StreamingLink {
       hasGeo: Boolean = false,
       keepSnapshots: Int = 2,
       ccMaxIter: Int = 25,
-      ccCheckEvery: Int = 1): StreamingQuery = {
+      ccCheckEvery: Int = 1,
+      generator: String = "block",
+      shingleK: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleMode: String = "char"): StreamingQuery = {
     val fold: (Dataset[Row], Long) => Unit = (batch, id) =>
       foldBatch(batch.toDF(), left, cfg, root, idCol, textCol, hasGeo, id,
-        keepSnapshots, ccMaxIter, ccCheckEvery)
+        keepSnapshots, ccMaxIter, ccCheckEvery,
+        generator, shingleK, numHashes, bands, shingleMode)
     rightStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(fold)

@@ -82,4 +82,43 @@ class StreamingLinkSpec extends SparkSpec {
       expectedC.exceptAll(gotC).count() == 0,
       "streamed clusters != batch CC over accepted pairs")
   }
+
+  test("LSH-generator stream drains to the exact batch LSH match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_slsh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_slsh_ck").toString
+
+    val left = norm(AddressFixture.left(spark, sf0001))
+    val rightAll = AddressFixture.rightAll(spark, sf0001)
+    val rows = rightAll.select("id", "address").collect()
+      .map(r => RightRow(r.getString(0), r.getString(1)))
+    val cLsh = cfg.copy(scorer = "jaro_winkler", blockBy = "")
+
+    val mem = MemoryStream[RightRow]
+    val q = StreamingLink.incrementalLinkSink(
+      norm(mem.toDF()), left, cLsh, root, ckpt,
+      idCol = "id", textCol = "address_norm", generator = "lsh")
+    try {
+      rows.grouped(rows.length / 2 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val expectedM = Matcher.matchPairsLshBlocked(left, norm(rightAll), cLsh,
+      idCol = "id", textCol = "address_norm")
+    val gotM = TableIO.readTable(spark, root, "matches")
+    assert(gotM.exceptAll(expectedM).count() == 0 &&
+      expectedM.exceptAll(gotM).count() == 0,
+      "streamed LSH matches != batch matchPairsLshBlocked")
+
+    val expectedC = ConnectedComponents.run(
+      Matcher.scoredPairsLshBlocked(left, norm(rightAll), cLsh,
+        idCol = "id", textCol = "address_norm"), "left_id", "right_id")
+    val gotC = TableIO.readTable(spark, root, "clusters")
+    assert(gotC.exceptAll(expectedC).count() == 0 &&
+      expectedC.exceptAll(gotC).count() == 0,
+      "streamed LSH clusters != batch CC over banded accepted pairs")
+  }
 }
