@@ -371,6 +371,27 @@ object SparkEntry {
         MatchConfig.reference.copy(scorer = "jaro_winkler"),
         idCol = "conv_id", textCol = "text_norm")
     }),
+    // Incremental re-match over the COMPOSITE generator (block ∪ band),
+    // same entity-parity split as m_match_lsh_incr; the oracle is the
+    // full composite-match SQL verbatim — equality IS the
+    // incremental-exactness proof (Matcher.matchPairsIncrementalComposite
+    // scaladoc).
+    "m_match_comp_incr" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      val cfgJw = MatchConfig.reference.copy(scorer = "jaro_winkler")
+      val isOld = coalesce(
+        expr("try_cast(regexp_extract(conv_id, 'c([0-9]+)_', 1) AS BIGINT) % 2 = 0"),
+        lit(false))
+      val l = conv.filter(col("variant") === 0)
+      val r = conv.filter(col("variant") > 0)
+      val prior = Matcher.matchPairsComposite(
+        l.filter(isOld), r.filter(isOld), cfgJw,
+        idCol = "conv_id", textCol = "text_norm")
+      Matcher.matchPairsIncrementalComposite(
+        l.filter(isOld), l.filter(not(isOld)),
+        r.filter(isOld), r.filter(not(isOld)),
+        prior, cfgJw, idCol = "conv_id", textCol = "text_norm")
+    }),
     // Anti-join unmatched outputs (J15).
     "m_unmatched_left" -> ((s, dir) => {
       val conv = convNorm(s, dir).cache()
@@ -683,6 +704,9 @@ object SparkEntry {
     // oracle is the full-match SQL verbatim
     "m_match_lsh_incr" -> matchLshOracle,
     "m_match_comp" -> matchCompositeOracle,
+    // incremental composite fold is provably = the full composite
+    // match, so the oracle is the full-match SQL verbatim
+    "m_match_comp_incr" -> matchCompositeOracle,
     "m_unmatched_left" -> withCtes(
       s"""
          |, m AS (${matchBody}),

@@ -615,6 +615,52 @@ object Matcher {
           left, right, cfg, idCol, textCol, shingleK, numHashes, bands, shingleMode)),
       cfg.topk)
 
+  /** [[matchPairsIncremental]] over the COMPOSITE generator — the last
+    * cell of the generator × incremental matrix (block
+    * [[matchPairsIncremental]], banded [[matchPairsIncrementalLsh]],
+    * composite here). The proof composes: the composite candidate set
+    * is the union of two per-pair candidacy predicates (shared block
+    * key ∨ shared band), so it decomposes into the same old×old ∪
+    * new×all ∪ old×new subspaces per generator; `priorMatches` (a full
+    * composite match of the old halves) summarizes old×old for BOTH
+    * generators at once, and cross-generator + replay repeats collapse
+    * in [[rankTopKDistinct]] because scores are deterministic and
+    * generator-independent. Same leg-oriented bloom pregate flips as
+    * the block incremental; the LSH legs carry no block keys so the
+    * pregate never applies there. Text-only (composite semantics:
+    * hasGeo = false on the block legs, matching
+    * [[matchPairsComposite]]). */
+  def matchPairsIncrementalComposite(
+      leftOld: DataFrame,
+      leftNew: DataFrame,
+      rightOld: DataFrame,
+      rightNew: DataFrame,
+      priorMatches: DataFrame,
+      cfg: MatchConfig,
+      idCol: String = "id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleMode: String = "char"): DataFrame = {
+    val rightAll = rightOld.unionByName(rightNew)
+    val newVsAll = scoredPairs(
+      leftNew, rightAll, cfg.copy(bloomPregateSide = "right"),
+      idCol, textCol, hasGeo = false)
+      .unionByName(scoredPairsLshBlocked(leftNew, rightAll, cfg,
+        idCol, textCol, shingleK, numHashes, bands, shingleMode))
+    val oldVsNew = scoredPairs(
+      leftOld, rightNew, cfg.copy(bloomPregateSide = "left"),
+      idCol, textCol, hasGeo = false)
+      .unionByName(scoredPairsLshBlocked(leftOld, rightNew, cfg,
+        idCol, textCol, shingleK, numHashes, bands, shingleMode))
+    rankTopKDistinct(
+      priorMatches.select(col("left_id"), col("right_id"), col("score"))
+        .unionByName(newVsAll)
+        .unionByName(oldVsNew),
+      cfg.topk)
+  }
+
   /** Write a side as a parquet table BUCKETED (and sorted) by its
     * derived block key — the co-location contract for
     * [[MatchConfig.coPartitioned]]: two snapshots bucketed with the

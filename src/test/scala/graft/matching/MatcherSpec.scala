@@ -189,6 +189,32 @@ class MatcherSpec extends SparkSpec {
       replayed.exceptAll(full).count() == 0)
   }
 
+  test("incremental composite match equals full composite match (incl. replay)") {
+    val conv = graft.SparkEntry.convNorm(spark, sf0001).cache()
+    val left = conv.filter(col("variant") === 0)
+    val right = conv.filter(col("variant") > 0)
+    val c = MatchConfig.reference.copy(scorer = "jaro_winkler")
+    val full = Matcher.matchPairsComposite(left, right, c,
+      idCol = "conv_id", textCol = "text_norm").cache()
+    val isOld = expr("CAST(regexp_extract(conv_id, 'c([0-9]+)_', 1) AS BIGINT) % 2 = 0")
+    val prior = Matcher.matchPairsComposite(
+      left.filter(isOld), right.filter(isOld), c,
+      idCol = "conv_id", textCol = "text_norm")
+    val incr = Matcher.matchPairsIncrementalComposite(
+      left.filter(isOld), left.filter(not(isOld)),
+      right.filter(isOld), right.filter(not(isOld)),
+      prior, c, idCol = "conv_id", textCol = "text_norm")
+    assert(full.exceptAll(incr).count() == 0 && incr.exceptAll(full).count() == 0)
+    // at-least-once replay: old rows re-delivered in the new batch
+    val replayed = Matcher.matchPairsIncrementalComposite(
+      left.filter(isOld), left.filter(not(isOld)),
+      right.filter(isOld),
+      right.filter(not(isOld)).unionByName(right.filter(isOld).limit(20)),
+      prior, c, idCol = "conv_id", textCol = "text_norm")
+    assert(full.exceptAll(replayed).count() == 0 &&
+      replayed.exceptAll(full).count() == 0)
+  }
+
   test("composite blocking: true-pair coverage >= each generator; every pair from the union") {
     val conv = graft.SparkEntry.convNorm(spark, sf0001).cache()
     val left = conv.filter(col("variant") === 0)
