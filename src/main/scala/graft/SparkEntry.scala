@@ -126,6 +126,48 @@ object SparkEntry {
 
   private def matchLshOracle: String = matchLshOracleWith(None)
 
+  /** DuckDB mirror of the sorted-neighborhood match (`m_match_sn`):
+    * one total order over the unioned sides — (text, side, id) is a
+    * unique key, so `row_number` is deterministic and bytewise string
+    * comparison agrees between Spark (UTF8String) and DuckDB (binary
+    * collation) — then every cross-side pair within `window`
+    * consecutive positions, scored/ranked by the shared jw shape. */
+  private def matchSnOracle: String = withCtes {
+    val ds = graft.similarity.Scores.digitsScoreSqlDuck("lt", "rt")
+    s"""
+       |, u AS (
+       |  SELECT conv_id AS id, text_norm AS t,
+       |         CASE WHEN variant = 0 THEN 'L' ELSE 'R' END AS side
+       |  FROM conv_norm WHERE text_norm IS NOT NULL
+       |)
+       |, idx AS (
+       |  SELECT id, t, side, row_number() OVER (ORDER BY t, side, id) AS rn
+       |  FROM u
+       |)
+       |, cand AS (
+       |  SELECT CASE WHEN a.side = 'L' THEN a.id ELSE b.id END AS left_id,
+       |         CASE WHEN a.side = 'L' THEN b.id ELSE a.id END AS right_id,
+       |         CASE WHEN a.side = 'L' THEN a.t ELSE b.t END AS lt,
+       |         CASE WHEN a.side = 'L' THEN b.t ELSE a.t END AS rt
+       |  FROM idx a JOIN idx b
+       |    ON b.rn > a.rn AND b.rn <= a.rn + 9 AND a.side <> b.side
+       |)
+       |, scored AS (
+       |  SELECT left_id, right_id,
+       |         round((jaro_winkler_similarity(lt, rt) * 100.0 * 0.8::DOUBLE
+       |                + $ds::DOUBLE * 0.15::DOUBLE)
+       |               / (0.8::DOUBLE + 0.15::DOUBLE), 2) AS score
+       |  FROM cand
+       |)
+       |, ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY left_id
+       |                               ORDER BY score DESC, right_id ASC) AS rn
+       |  FROM scored WHERE score >= 60.0
+       |)
+       |SELECT left_id, right_id, score FROM ranked WHERE rn <= 3
+       |""".stripMargin
+  }
+
   private def matchLshTokOracle: String = matchLshOracleWith(
     Some(graft.dedup.Dedup.tokenShinglesSqlDuck("text_norm", 2)))
 
@@ -360,6 +402,33 @@ object SparkEntry {
         l.filter(isOld), l.filter(not(isOld)),
         r.filter(isOld), r.filter(not(isOld)),
         prior, cfgJw, idCol = "conv_id", textCol = "text_norm")
+    }),
+    // Blocking-quality statistics over the reference block-key
+    // generator, against entity-id truth: reduction ratio, pairs
+    // completeness (the recall ceiling any matcher over this generator
+    // can reach), pairs quality.
+    "e_blocking_quality" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      val key = graft.blocking.BlockKeys.blockKey(col("text_norm"), "digits+prefix6")
+      val l = conv.filter(col("variant") === 0)
+        .select(col("conv_id").as("left_id"), key.as("bk"), col("entity_id").as("le"))
+      val r = conv.filter(col("variant") > 0)
+        .select(col("conv_id").as("right_id"), key.as("bk"), col("entity_id").as("re"))
+      val cand = l.join(r, "bk").select("left_id", "right_id")
+      val truth = l.join(r, col("le") === col("re"))
+        .select("left_id", "right_id")
+      Matcher.blockingQuality(l.select("left_id"), r.select("right_id"), cand, truth)
+    }),
+    // Sorted-neighborhood (merge/purge) candidate generation: the
+    // position-driven generator whose candidate volume is exactly
+    // (window-1)*N regardless of value skew.
+    "m_match_sn" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      Matcher.matchPairsSortedNeighborhood(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        MatchConfig.reference.copy(scorer = "jaro_winkler"),
+        idCol = "conv_id", textCol = "text_norm", window = 10)
     }),
     // COMPOSITE blocking (north-star phrase literal): block-key
     // candidates UNION band candidates, one ranking over both.
@@ -703,6 +772,32 @@ object SparkEntry {
     // incremental LSH fold is provably = the full LSH match, so the
     // oracle is the full-match SQL verbatim
     "m_match_lsh_incr" -> matchLshOracle,
+    "m_match_sn" -> matchSnOracle,
+    "e_blocking_quality" -> withCtes {
+      val bk = BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)
+      s"""
+         |, sides AS (SELECT conv_id, variant, entity_id, $bk AS bk FROM conv_norm)
+         |, l AS (SELECT conv_id AS left_id, bk, entity_id FROM sides WHERE variant = 0)
+         |, r AS (SELECT conv_id AS right_id, bk, entity_id FROM sides WHERE variant > 0)
+         |, cand AS (SELECT DISTINCT left_id, right_id FROM l JOIN r USING (bk))
+         |, truth AS (SELECT DISTINCT left_id, right_id
+         |            FROM l JOIN r ON l.entity_id = r.entity_id)
+         |, agg AS (
+         |  SELECT (SELECT count(*) FROM l) AS n_left,
+         |         (SELECT count(*) FROM r) AS n_right,
+         |         (SELECT count(*) FROM cand) AS n_cand,
+         |         (SELECT count(*) FROM truth) AS n_true,
+         |         (SELECT count(*)
+         |          FROM (SELECT * FROM truth INTERSECT SELECT * FROM cand)) AS n_true_cand
+         |)
+         |SELECT n_cand,
+         |       round(1.0::DOUBLE - n_cand::DOUBLE
+         |             / (n_left::DOUBLE * n_right::DOUBLE), 6) AS reduction_ratio,
+         |       round(n_true_cand::DOUBLE / n_true::DOUBLE, 6) AS pairs_completeness,
+         |       round(n_true_cand::DOUBLE / n_cand::DOUBLE, 6) AS pairs_quality
+         |FROM agg
+         |""".stripMargin
+    },
     "m_match_comp" -> matchCompositeOracle,
     // incremental composite fold is provably = the full composite
     // match, so the oracle is the full-match SQL verbatim

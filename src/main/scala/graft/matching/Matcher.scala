@@ -535,6 +535,19 @@ object Matcher {
         heavyRowCols(lSlim.repartition(parts, col("band")), "left", cfg, preTok)
           .join(heavyRowCols(rSlim.repartition(parts, col("band")), "right", cfg, preTok),
             Seq("band"), "inner")
+    scoreThresholdTextPairs(joined, cfg, preTok, scorer)
+  }
+
+  /** The text-only scoring tail shared by the non-block generators
+    * (LSH banding, sorted neighborhood): stopword pregate → scorer
+    * (pre-tokenized hot path when applicable) → digits combine →
+    * threshold → slim (left_id, right_id, score). Input rows carry
+    * `left_/right_` id+text plus the [[heavyRowCols]] derivations.
+    * One home so generator paths cannot diverge from the block join's
+    * cfg semantics. */
+  private def scoreThresholdTextPairs(
+      joined: DataFrame, cfg: MatchConfig, preTok: Boolean,
+      scorer: (Column, Column) => Column): DataFrame = {
     // same cheap pregate the block path applies before the scorer
     val gated =
       if (cfg.semanticStopwords.nonEmpty)
@@ -661,6 +674,132 @@ object Matcher {
       cfg.topk)
   }
 
+  /** Sorted-neighborhood (merge/purge, Hernández–Stolfo) candidate
+    * generation: both sides are unioned, totally ordered by
+    * (text, side, id) — a deterministic unique key — and every
+    * cross-side pair within `window` consecutive positions becomes a
+    * candidate, scored by the shared text tail.
+    *
+    * The ER role: block keys and LSH bands are VALUE-driven — a
+    * boilerplate-heavy corpus can pile millions of rows on one key,
+    * which is why both paths carry targeted salting. The sorted
+    * neighborhood is POSITION-driven: candidate volume is exactly
+    * (window−1)·N no matter how skewed the values are, so it is the
+    * generator whose cost is provably flat at 10^12 turns — the
+    * complement, not a replacement (a true pair further than `window`
+    * positions apart in sort order is missed; production merge/purge
+    * runs multiple passes with different sort keys).
+    *
+    * Plan: global contiguous index without a SinglePartition window —
+    * same triangular-offset numbering as [[matchIndex]]
+    * (repartitionByRange + per-partition row_number + broadcast
+    * offsets); neighbor pairing is an equi-join of each row's
+    * (window−1) probe positions against the index, both sides
+    * repartitioned on the probe key (uniform by construction — index
+    * values are unique, so this join CANNOT be skewed and needs no
+    * salting). No incremental variant: candidacy depends on a row's
+    * POSITION in the full sort, not on the pair alone, so the
+    * per-pair decomposition proof behind [[matchPairsIncremental]]
+    * does not exist for this generator. */
+  def scoredPairsSortedNeighborhood(
+      left: DataFrame,
+      right: DataFrame,
+      cfg: MatchConfig,
+      idCol: String = "id",
+      textCol: String = "text",
+      window: Int = 10): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val parts = left.sparkSession.sessionState.conf.numShufflePartitions
+    val scorer = FuzzFunctions.scorer(cfg.scorer)
+    val preTok = cfg.scorer.equalsIgnoreCase("token_set_ratio")
+    def side(df: DataFrame, tag: String) =
+      df.select(col(idCol).as("id"), col(textCol).as("t"))
+        .filter(col("t").isNotNull)
+        .withColumn("side", lit(tag))
+    val u = side(left, "L").unionByName(side(right, "R"))
+    // (t, side, id) is a unique key, so the rank is a deterministic
+    // total order shared with the DuckDB oracle's ORDER BY t, side, id
+    // (both compare strings bytewise)
+    val idx = rankByRange(u, Seq("t", "side", "id"), parts)
+      .select(col("id"), col("t"), col("side"), col("rn"))
+    // each row probes the window-1 positions AFTER it; rows near the
+    // end probe past max(rn) and simply find no partner
+    val probes = idx
+      .withColumn("rn2", explode(sequence(col("rn") + 1, col("rn") + window - 1)))
+      .select(col("id").as("a_id"), col("t").as("a_t"),
+        col("side").as("a_side"), col("rn2"))
+    val pairsRaw = probes.repartition(parts, col("rn2"))
+      .join(idx.select(col("id").as("b_id"), col("t").as("b_t"),
+          col("side").as("b_side"), col("rn").as("rn2"))
+          .repartition(parts, col("rn2")),
+        Seq("rn2"), "inner")
+      .filter(col("a_side") =!= col("b_side"))
+    val pairs = pairsRaw.select(
+      when(col("a_side") === "L", col("a_id")).otherwise(col("b_id")).as("left_id"),
+      when(col("a_side") === "L", col("a_t")).otherwise(col("b_t")).as("left_text"),
+      when(col("a_side") === "L", col("b_id")).otherwise(col("a_id")).as("right_id"),
+      when(col("a_side") === "L", col("b_t")).otherwise(col("a_t")).as("right_text"))
+    scoreThresholdTextPairs(
+      heavyRowCols(heavyRowCols(pairs, "left", cfg, preTok), "right", cfg, preTok),
+      cfg, preTok, scorer)
+  }
+
+  /** [[scoredPairsSortedNeighborhood]] + the standard threshold/top-k
+    * ranking. A cross-side pair arises from at most one index
+    * distance, so there are no generator repeats; the distinct ranking
+    * is used anyway so replays compose like the other generators. */
+  def matchPairsSortedNeighborhood(
+      left: DataFrame,
+      right: DataFrame,
+      cfg: MatchConfig,
+      idCol: String = "id",
+      textCol: String = "text",
+      window: Int = 10): DataFrame =
+    rankTopKDistinct(
+      scoredPairsSortedNeighborhood(left, right, cfg, idCol, textCol, window),
+      cfg.topk)
+
+  /** Blocking-quality statistics — the ER-canonical evaluation of a
+    * candidate GENERATOR (before any scoring): given the generator's
+    * candidate pair set and a labeled truth set,
+    *
+    *   - reduction ratio    = 1 − |C| / (|L|·|R|)  (how much of the
+    *     quadratic space the generator prunes),
+    *   - pairs completeness = |C ∩ T| / |T|         (recall of true
+    *     pairs into the candidate set — an upper bound on any
+    *     downstream matcher's recall),
+    *   - pairs quality      = |C ∩ T| / |C|         (precision of the
+    *     candidate set — how much scoring work is wasted).
+    *
+    * One output row. Every input reduces to a single-row aggregate
+    * before the cross joins, so the combine is broadcast-trivial at
+    * any scale; the only real work is the distinct + semi-join sized
+    * by the candidate set itself. */
+  def blockingQuality(
+      left: DataFrame,
+      right: DataFrame,
+      candidates: DataFrame,
+      truth: DataFrame): DataFrame = {
+    val cand = candidates.select(col("left_id"), col("right_id")).distinct()
+    val t = truth.select(col("left_id"), col("right_id")).distinct()
+    val nL = left.agg(count(lit(1)).as("n_left"))
+    val nR = right.agg(count(lit(1)).as("n_right"))
+    val nC = cand.agg(count(lit(1)).as("n_cand"))
+    val nHit = t.join(cand, Seq("left_id", "right_id"), "inner")
+      .agg(count(lit(1)).as("n_true_cand"))
+    val nT = t.agg(count(lit(1)).as("n_true"))
+    nL.crossJoin(nR).crossJoin(nC).crossJoin(nHit).crossJoin(nT)
+      .select(
+        col("n_cand"),
+        round(lit(1.0) - col("n_cand").cast("double") /
+          (col("n_left").cast("double") * col("n_right").cast("double")), 6)
+          .as("reduction_ratio"),
+        round(col("n_true_cand").cast("double") / col("n_true").cast("double"), 6)
+          .as("pairs_completeness"),
+        round(col("n_true_cand").cast("double") / col("n_cand").cast("double"), 6)
+          .as("pairs_quality"))
+  }
+
   /** Write a side as a parquet table BUCKETED (and sorted) by its
     * derived block key — the co-location contract for
     * [[MatchConfig.coPartitioned]]: two snapshots bucketed with the
@@ -734,27 +873,54 @@ object Matcher {
       idCol: String = "id",
       orderCol: String = "id"): DataFrame = {
     val parts = left.sparkSession.sessionState.conf.numShufflePartitions
-    def numbered(df: DataFrame, side: String) = {
-      val p = df.select(col(idCol).as(s"${side}_id"))
-        .repartitionByRange(parts, col(s"${side}_id"))
-        .withColumn("__pid", spark_partition_id())
-      // partition start offsets via a triangular self-join over the
-      // per-partition counts (#partitions rows) — not a global window,
-      // so the whole plan is free of SinglePartition exchanges
-      val counts = p.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-      val offsets = counts.as("a")
-        .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
-        .groupBy(col("a.__pid").as("__pid"))
-        .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__offset"))
-      p.join(broadcast(offsets), "__pid")
-        .withColumn("rn", col("__offset") +
-          row_number().over(
-            Window.partitionBy(col("__pid")).orderBy(col(s"${side}_id"))))
+    def numbered(df: DataFrame, side: String) =
+      rankByRange(df.select(col(idCol).as(s"${side}_id")),
+        Seq(s"${side}_id"), parts)
         .select(col(s"${side}_id"), col("rn"))
-    }
     numbered(left, "left")
       .join(numbered(right, "right"), Seq("rn"), "inner")
       .select(col("left_id"), col("right_id"), lit(1.0).as("score"))
+  }
+
+  /** Deterministic distributed global numbering, free of
+    * SinglePartition exchanges: range-partition by `keys` (which must
+    * form a unique key), pin ONE boundary sample with an eager
+    * localCheckpoint, then rank = broadcast triangular offsets over
+    * the per-partition counts + in-partition row_number.
+    *
+    * The checkpoint is LOAD-BEARING for correctness, not a cache:
+    * `repartitionByRange` SAMPLES its boundaries with a
+    * per-RDD-instance seed, and any plan that consumes the partitioned
+    * frame more than once (the counts branch and the rank branch here,
+    * or a downstream self-join like the sorted-neighborhood pairing)
+    * is rewritten by the analyzer's DeduplicateRelations with a
+    * RE-INSTANTIATED `spark_partition_id()` — canonically distinct, so
+    * exchange reuse never fires and each copy samples DIFFERENT
+    * boundaries; the offsets then no longer describe the partitioning
+    * the ranks were computed in. Caught live by the
+    * sorted-neighborhood spec (same-input reruns returned 1463 vs 1330
+    * pairs); latent in matchIndex for inputs past the sampler's
+    * full-scan size (below it every copy samples every row and the
+    * boundaries collide by luck). Checkpoint blocks are slim
+    * (key + __pid) and stay pinned until the session ends or the
+    * caller frees them ([[graft.util.CheckpointHygiene]]). */
+  private def rankByRange(
+      df: DataFrame, keys: Seq[String], parts: Int): DataFrame = {
+    val p = df.repartitionByRange(parts, keys.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // partition start offsets via a triangular self-join over the
+    // per-partition counts (#partitions rows) — not a global window,
+    // so the whole plan is free of SinglePartition exchanges
+    val counts = p.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__offset"))
+    p.join(broadcast(offsets), "__pid")
+      .withColumn("rn", col("__offset") + row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(keys.map(col): _*)))
+      .drop("__pid", "__offset")
   }
 
   /** J13 `keep_best_per_right` — documented in

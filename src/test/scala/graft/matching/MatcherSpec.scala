@@ -215,6 +215,33 @@ class MatcherSpec extends SparkSpec {
       replayed.exceptAll(full).count() == 0)
   }
 
+  test("sorted neighborhood: candidates monotone in window; no SinglePartition") {
+    val conv = graft.SparkEntry.convNorm(spark, sf0001).cache()
+    val left = conv.filter(col("variant") === 0)
+    val right = conv.filter(col("variant") > 0)
+    val c = MatchConfig.reference.copy(scorer = "jaro_winkler")
+    val s5 = Matcher.scoredPairsSortedNeighborhood(
+      left, right, c, "conv_id", "text_norm", window = 5)
+    val s20 = Matcher.scoredPairsSortedNeighborhood(
+      left, right, c, "conv_id", "text_norm", window = 20)
+    // a pair within 4 positions is within 19 positions: strictly wider net
+    assert(s5.exceptAll(s20).count() == 0)
+    assert(s5.count() < s20.count())
+    // rerun-equality: the global numbering must be deterministic — this
+    // is the regression guard for the rankByRange boundary-sample pin
+    // (unpinned, two copies of the index sample different range
+    // boundaries and the same call returns different pair sets)
+    val s5b = Matcher.scoredPairsSortedNeighborhood(
+      left, right, c, "conv_id", "text_norm", window = 5)
+    assert(s5.exceptAll(s5b).count() == 0 && s5b.exceptAll(s5).count() == 0)
+    // the global index must come from the triangular-offset numbering,
+    // never a SinglePartition window (the matchIndex discipline)
+    val ranked = Matcher.matchPairsSortedNeighborhood(
+      left, right, c, "conv_id", "text_norm")
+    assert(!ranked.queryExecution.executedPlan.toString.contains("SinglePartition"))
+    assert(ranked.count() > 0)
+  }
+
   test("composite blocking: true-pair coverage >= each generator; every pair from the union") {
     val conv = graft.SparkEntry.convNorm(spark, sf0001).cache()
     val left = conv.filter(col("variant") === 0)
