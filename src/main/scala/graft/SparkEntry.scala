@@ -7,7 +7,7 @@ import graft.matching.{MatchConfig, Matcher}
 import graft.normalize.Normalizer
 import graft.similarity.Scores
 import graft.transcripts.Transcripts
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -126,31 +126,42 @@ object SparkEntry {
 
   private def matchLshOracle: String = matchLshOracleWith(None)
 
-  /** DuckDB mirror of the sorted-neighborhood match (`m_match_sn`):
-    * one total order over the unioned sides — (text, side, id) is a
-    * unique key, so `row_number` is deterministic and bytewise string
-    * comparison agrees between Spark (UTF8String) and DuckDB (binary
-    * collation) — then every cross-side pair within `window`
-    * consecutive positions, scored/ranked by the shared jw shape. */
-  private def matchSnOracle: String = withCtes {
+  /** DuckDB mirror of the sorted-neighborhood match (`m_match_sn` /
+    * `m_match_sn_mp`): per sort key, one total order over the unioned
+    * sides — (key, text, side, id) is a unique key, so `row_number` is
+    * deterministic and bytewise string comparison agrees between Spark
+    * (UTF8String) and DuckDB (binary collation) — then every
+    * cross-side pair within `window` consecutive positions, passes
+    * unioned DISTINCT (Spark's cross-pass repeats collapse in the
+    * ranking instead), scored/ranked by the shared jw shape. */
+  private def matchSnOracleWith(sortKeySqls: Seq[String]): String = withCtes {
     val ds = graft.similarity.Scores.digitsScoreSqlDuck("lt", "rt")
+    val idxes = sortKeySqls.indices.map { i =>
+      s"""idx$i AS (
+         |  SELECT id, t, side,
+         |         row_number() OVER (ORDER BY ${sortKeySqls(i)}, t, side, id) AS rn
+         |  FROM u
+         |)""".stripMargin
+    }
+    val passPairs = sortKeySqls.indices.map { i =>
+      s"""    SELECT CASE WHEN a.side = 'L' THEN a.id ELSE b.id END AS left_id,
+         |           CASE WHEN a.side = 'L' THEN b.id ELSE a.id END AS right_id,
+         |           CASE WHEN a.side = 'L' THEN a.t ELSE b.t END AS lt,
+         |           CASE WHEN a.side = 'L' THEN b.t ELSE a.t END AS rt
+         |    FROM idx$i a JOIN idx$i b
+         |      ON b.rn > a.rn AND b.rn <= a.rn + 9 AND a.side <> b.side""".stripMargin
+    }
     s"""
        |, u AS (
        |  SELECT conv_id AS id, text_norm AS t,
        |         CASE WHEN variant = 0 THEN 'L' ELSE 'R' END AS side
        |  FROM conv_norm WHERE text_norm IS NOT NULL
        |)
-       |, idx AS (
-       |  SELECT id, t, side, row_number() OVER (ORDER BY t, side, id) AS rn
-       |  FROM u
-       |)
+       |, ${idxes.mkString("\n, ")}
        |, cand AS (
-       |  SELECT CASE WHEN a.side = 'L' THEN a.id ELSE b.id END AS left_id,
-       |         CASE WHEN a.side = 'L' THEN b.id ELSE a.id END AS right_id,
-       |         CASE WHEN a.side = 'L' THEN a.t ELSE b.t END AS lt,
-       |         CASE WHEN a.side = 'L' THEN b.t ELSE a.t END AS rt
-       |  FROM idx a JOIN idx b
-       |    ON b.rn > a.rn AND b.rn <= a.rn + 9 AND a.side <> b.side
+       |  SELECT DISTINCT left_id, right_id, lt, rt FROM (
+       |${passPairs.mkString("\n    UNION ALL\n")}
+       |  )
        |)
        |, scored AS (
        |  SELECT left_id, right_id,
@@ -167,6 +178,8 @@ object SparkEntry {
        |SELECT left_id, right_id, score FROM ranked WHERE rn <= 3
        |""".stripMargin
   }
+
+  private def matchSnOracle: String = matchSnOracleWith(Seq("t"))
 
   private def matchLshTokOracle: String = matchLshOracleWith(
     Some(graft.dedup.Dedup.tokenShinglesSqlDuck("text_norm", 2)))
@@ -428,6 +441,18 @@ object SparkEntry {
         conv.filter(col("variant") === 0),
         conv.filter(col("variant") > 0),
         MatchConfig.reference.copy(scorer = "jaro_winkler"),
+        idCol = "conv_id", textCol = "text_norm", window = 10)
+    }),
+    // Multi-pass sorted neighborhood (the production merge/purge
+    // shape): forward text order + reversed-text order, candidates
+    // unioned, one ranking.
+    "m_match_sn_mp" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      Matcher.matchPairsSortedNeighborhoodMultiPass(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        MatchConfig.reference.copy(scorer = "jaro_winkler"),
+        sortKeys = Seq(identity, (c: Column) => reverse(c)),
         idCol = "conv_id", textCol = "text_norm", window = 10)
     }),
     // COMPOSITE blocking (north-star phrase literal): block-key
@@ -773,6 +798,7 @@ object SparkEntry {
     // oracle is the full-match SQL verbatim
     "m_match_lsh_incr" -> matchLshOracle,
     "m_match_sn" -> matchSnOracle,
+    "m_match_sn_mp" -> matchSnOracleWith(Seq("t", "reverse(t)")),
     "e_blocking_quality" -> withCtes {
       val bk = BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)
       s"""

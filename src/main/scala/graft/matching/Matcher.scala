@@ -707,7 +707,8 @@ object Matcher {
       cfg: MatchConfig,
       idCol: String = "id",
       textCol: String = "text",
-      window: Int = 10): DataFrame = {
+      window: Int = 10,
+      sortKey: Column => Column = identity): DataFrame = {
     require(window >= 2, s"window must be >= 2: $window")
     val parts = left.sparkSession.sessionState.conf.numShufflePartitions
     val scorer = FuzzFunctions.scorer(cfg.scorer)
@@ -717,10 +718,12 @@ object Matcher {
         .filter(col("t").isNotNull)
         .withColumn("side", lit(tag))
     val u = side(left, "L").unionByName(side(right, "R"))
-    // (t, side, id) is a unique key, so the rank is a deterministic
-    // total order shared with the DuckDB oracle's ORDER BY t, side, id
-    // (both compare strings bytewise)
-    val idx = rankByRange(u, Seq("t", "side", "id"), parts)
+      .withColumn("sk", sortKey(col("t")))
+    // (sk, t, side, id) is a unique key — (t, side, id) already is, and
+    // the derived sort key only prefixes it — so the rank is a
+    // deterministic total order shared with the DuckDB oracle's
+    // ORDER BY sk, t, side, id (both compare strings bytewise)
+    val idx = rankByRange(u, Seq("sk", "t", "side", "id"), parts)
       .select(col("id"), col("t"), col("side"), col("rn"))
     // each row probes the window-1 positions AFTER it; rows near the
     // end probe past max(rn) and simply find no partner
@@ -758,6 +761,32 @@ object Matcher {
     rankTopKDistinct(
       scoredPairsSortedNeighborhood(left, right, cfg, idCol, textCol, window),
       cfg.topk)
+
+  /** Multi-pass sorted neighborhood — the production merge/purge
+    * shape: one pass per sort key (e.g. the text itself, its reverse,
+    * a phonetic key), candidates unioned, ONE ranking. A true pair
+    * missed by one sort order (the two rows differ early in that key)
+    * is caught by a pass whose key they agree on early; a pair found
+    * by several passes carries the same deterministic score and
+    * collapses to one top-k slot in [[rankTopKDistinct]] — no
+    * cross-pass dedup shuffle, the same argument as
+    * [[matchPairsComposite]]. Cost is exactly `passes ×` the
+    * single-pass cost, still value-skew-proof. */
+  def matchPairsSortedNeighborhoodMultiPass(
+      left: DataFrame,
+      right: DataFrame,
+      cfg: MatchConfig,
+      sortKeys: Seq[Column => Column],
+      idCol: String = "id",
+      textCol: String = "text",
+      window: Int = 10): DataFrame = {
+    require(sortKeys.nonEmpty, "at least one sort key required")
+    rankTopKDistinct(
+      sortKeys.map(k =>
+        scoredPairsSortedNeighborhood(left, right, cfg, idCol, textCol, window, k))
+        .reduce(_ unionByName _),
+      cfg.topk)
+  }
 
   /** Blocking-quality statistics — the ER-canonical evaluation of a
     * candidate GENERATOR (before any scoring): given the generator's

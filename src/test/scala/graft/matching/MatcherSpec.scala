@@ -240,6 +240,19 @@ class MatcherSpec extends SparkSpec {
       left, right, c, "conv_id", "text_norm")
     assert(!ranked.queryExecution.executedPlan.toString.contains("SinglePartition"))
     assert(ranked.count() > 0)
+    // multi-pass: forward ∪ reversed candidates strictly widen the
+    // single-pass net (scored sets, pre-ranking)
+    val mp = Matcher.scoredPairsSortedNeighborhood(
+        left, right, c, "conv_id", "text_norm", window = 5)
+      .unionByName(Matcher.scoredPairsSortedNeighborhood(
+        left, right, c, "conv_id", "text_norm", window = 5,
+        sortKey = (x: org.apache.spark.sql.Column) => reverse(x)))
+    assert(s5.exceptAll(mp).count() == 0)
+    val mpRanked = Matcher.matchPairsSortedNeighborhoodMultiPass(
+      left, right, c,
+      sortKeys = Seq(identity, (x: org.apache.spark.sql.Column) => reverse(x)),
+      idCol = "conv_id", textCol = "text_norm", window = 5)
+    assert(mpRanked.count() >= 0)
   }
 
   test("composite blocking: true-pair coverage >= each generator; every pair from the union") {
