@@ -245,6 +245,17 @@ object SparkEntry {
       addrNorm(AddressFixture.rightAll(s, dir)),
       addrCfg, idCol = "id", textCol = "address_norm", hasGeo = true)
 
+  /** Same full match with the transposition-tolerant `dl_ratio` scorer
+    * (true Damerau-Levenshtein, codegen'd [[graft.similarity.DamerauLevenshtein]])
+    * — swapped-adjacent-character typos cost 1 edit instead of 2, the
+    * classic record-linkage upgrade over plain Levenshtein. */
+  def addrMatchDl(s: SparkSession, dir: String): DataFrame =
+    Matcher.matchPairs(
+      addrNorm(AddressFixture.left(s, dir)),
+      addrNorm(AddressFixture.rightAll(s, dir)),
+      addrCfg.copy(scorer = "dl_ratio"), idCol = "id", textCol = "address_norm",
+      hasGeo = true)
+
   /** Clusters: transitive closure (large-star/small-star CC) over the
     * accepted address pairs — the north-rule stage. */
   def addrClusters(s: SparkSession, dir: String): DataFrame =
@@ -252,10 +263,13 @@ object SparkEntry {
 
   /** DuckDB mirror of the address-match pipeline: CTEs addr_left/right
     * -> normalized -> blocked -> scored -> ranked. */
-  private def addrMatchBody: String = {
+  private def addrMatchBody: String =
+    addrMatchBodyWith(Scores.levRatioSqlDuck("l.t", "r.t"))
+
+  private def addrMatchBodyWith(textScoreSql: String): String = {
     val normL = Normalizer.normalizeAddressSqlDuck("address")
     val bk = BlockKeys.digitsPrefixKeySqlDuck("t", 6)
-    val lev = Scores.levRatioSqlDuck("l.t", "r.t")
+    val lev = textScoreSql
     val ds = Scores.digitsScoreSqlDuck("l.t", "r.t")
     val hav = Scores.haversineKmSqlDuck("l.lat", "l.lon", "r.lat", "r.lon")
     val geo = Scores.geoScoreKmSqlDuck(hav, 1.5)
@@ -507,6 +521,10 @@ object SparkEntry {
       addrNorm(AddressFixture.rightAll(s, dir)).select("id", "address_norm", "lat", "lon")),
     // Full scored match with digits + geo confidence (J6-J12).
     "a_match_lev" -> ((s, dir) => addrMatchLev(s, dir)),
+    // J6 scorer family: true-Damerau-Levenshtein variant of the full
+    // address match (codegen'd expression; DuckDB damerau_levenshtein
+    // is the oracle).
+    "a_match_dl" -> ((s, dir) => addrMatchDl(s, dir)),
     // Incremental re-match (the per-ingest-batch production shape):
     // split the corpus by entity-key parity into an "old" committed
     // half and a "new" increment, score only new×all and old×new, and
@@ -643,6 +661,8 @@ object SparkEntry {
     "a_right_norm" -> withAddrCtes(
       s"SELECT id, ${Normalizer.normalizeAddressSqlDuck("address")} AS address_norm, lat, lon FROM addr_right"),
     "a_match_lev" -> withAddrCtes(s"SELECT * FROM ($addrMatchBody)"),
+    "a_match_dl" -> withAddrCtes(
+      s"SELECT * FROM (${addrMatchBodyWith(Scores.dlRatioSqlDuck("l.t", "r.t"))})"),
     // incremental == full (see the queries entry), so the oracle is
     // the full-match SQL verbatim
     "a_match_incr" -> withAddrCtes(s"SELECT * FROM ($addrMatchBody)"),

@@ -115,6 +115,34 @@ case class JaroWinkler(left: Expression, right: Expression) extends FuzzBinaryEx
     copy(left = l, right = r)
 }
 
+/** True (unrestricted) Damerau-Levenshtein DISTANCE (IntegerType, like
+  * Spark's built-in `levenshtein`) — Spark has no Damerau variant;
+  * DuckDB's `damerau_levenshtein` is the oracle. Byte-oriented (see
+  * [[Fuzz.damerauLevenshteinBytes]]): exact DuckDB parity, and byte ==
+  * char on the normalized ASCII text it is meant to score. */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  import org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Fuzz.damerauLevenshteinUTF8(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.similarity.Fuzz.damerauLevenshteinUTF8($a, $b)")
+  override def prettyName: String = "damerau_levenshtein"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API + SQL registration surface. Mirrors the reference's scorer
   * registry `{"token_set_ratio","ratio","partial_ratio"}` keyed by name
   * (match.py:109-115) with `token_set_ratio` as the default.
@@ -127,6 +155,8 @@ object FuzzFunctions {
   def jaro_winkler(a: Column, b: Column): Column = GraftShim.column(JaroWinkler(GraftShim.expression(a), GraftShim.expression(b)))
   def token_set_ratio_pretok(a: Column, b: Column): Column =
     GraftShim.column(TokenSetRatioPreTok(GraftShim.expression(a), GraftShim.expression(b)))
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    GraftShim.column(DamerauLevenshtein(GraftShim.expression(a), GraftShim.expression(b)))
 
   /** The once-per-row tokenization feeding [[token_set_ratio_pretok]]:
     * whitespace-split, drop empties, distinct, binary sort — exactly the
@@ -158,6 +188,19 @@ object FuzzFunctions {
           org.apache.spark.sql.functions.levenshtein(a, b).cast("double") /
             org.apache.spark.sql.functions.greatest(
               org.apache.spark.sql.functions.length(a),
+              org.apache.spark.sql.functions.length(b)).cast("double")))),
+    // Normalized true-Damerau-Levenshtein similarity, same arithmetic
+    // shape as lev_ratio so its DuckDB oracle (Scores.dlRatioSqlDuck)
+    // agrees bit-for-bit. Transposition-tolerant: swapped adjacent
+    // characters (typos) cost 1 instead of lev's 2.
+    "dl_ratio" -> ((a: Column, b: Column) =>
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.length(a) === 0 &&
+          org.apache.spark.sql.functions.length(b) === 0, 100.0)
+        .otherwise(lit100 * (lit1 -
+          damerau_levenshtein(a, b).cast("double") /
+            org.apache.spark.sql.functions.greatest(
+              org.apache.spark.sql.functions.length(a),
               org.apache.spark.sql.functions.length(b)).cast("double"))))
   )
   private def lit100 = org.apache.spark.sql.functions.lit(100.0)
@@ -173,5 +216,6 @@ object FuzzFunctions {
     reg.createOrReplaceTempFunction("token_set_ratio", es => TokenSetRatio(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("token_sort_ratio", es => TokenSortRatio(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("damerau_levenshtein", es => DamerauLevenshtein(es.head, es(1)), "built-in")
   }
 }

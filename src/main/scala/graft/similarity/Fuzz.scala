@@ -500,4 +500,69 @@ object Fuzz {
   def jaroWinklerUTF8(a: org.apache.spark.unsafe.types.UTF8String,
       b: org.apache.spark.unsafe.types.UTF8String): Double =
     jaroWinklerBytes(a.getBytes, b.getBytes)
+
+  /** True (unrestricted) Damerau-Levenshtein distance over UTF-8 BYTES —
+    * the variant where a transposed pair may be edited again later
+    * (distinguisher: CA→ABC = 2, not OSA's 3). Byte-oriented to match
+    * DuckDB's `damerau_levenshtein` exactly (DuckDB's string distances
+    * count bytes, not code points — ş→s costs 2 there); on this
+    * engine's normalized text (diacritic-folded → ASCII) byte ==
+    * character, which is where the scorer is meant to run. The
+    * last-occurrence table is a flat 256-entry array (bytes, not a
+    * char hash map) and the DP matrix one flat int array, so the inner
+    * loop stays allocation-light under codegen. O(|a|·|b|) time AND
+    * memory (the transposition rule reads arbitrary earlier rows, so
+    * the two-row Levenshtein trick does not apply) — use on short keys
+    * (addresses, names, lines), not multi-KB documents. */
+  def damerauLevenshteinBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = la + lb
+    val w = lb + 2
+    val d = new Array[Int]((la + 2) * w)
+    d(0) = inf
+    var i = 0
+    while (i <= la) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    // last row in which each byte value occurred in `a`; 0 = never, and
+    // d(0)(0) = inf makes the transposition arm unreachable then.
+    val da = new Array[Int](256)
+    i = 1
+    while (i <= la) {
+      var db = 0
+      val ai = a(i - 1) & 0xff
+      j = 1
+      while (j <= lb) {
+        val bj = b(j - 1) & 0xff
+        val k = da(bj)
+        val l = db
+        var cost = 1
+        if (ai == bj) { db = j; cost = 0 }
+        var m = d(i * w + j) + cost // substitute / copy
+        val ins = d((i + 1) * w + j) + 1
+        if (ins < m) m = ins
+        val del = d(i * w + j + 1) + 1
+        if (del < m) m = del
+        val tra = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        if (tra < m) m = tra
+        d((i + 1) * w + j + 1) = m
+        j += 1
+      }
+      da(ai) = i
+      i += 1
+    }
+    d((la + 1) * w + lb + 1)
+  }
+
+  def damerauLevenshtein(a: String, b: String): Int =
+    damerauLevenshteinBytes(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def damerauLevenshteinUTF8(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): Int =
+    damerauLevenshteinBytes(a.getBytes, b.getBytes)
 }

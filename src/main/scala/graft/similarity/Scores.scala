@@ -97,4 +97,15 @@ object Scores {
        |           CAST(levenshtein($l, $r) AS DOUBLE) /
        |           CAST(greatest(length($l), length($r)) AS DOUBLE))
        | END)""".stripMargin.replaceAll("\n\\s*", " ")
+
+  /** DuckDB mirror of the `dl_ratio` scorer — same arithmetic shape as
+    * [[levRatioSqlDuck]] over DuckDB's (byte-oriented, true/unrestricted)
+    * `damerau_levenshtein`, which [[Fuzz.damerauLevenshteinBytes]]
+    * matches byte-for-byte. */
+  def dlRatioSqlDuck(l: String, r: String): String =
+    s"""(CASE WHEN length($l) = 0 AND length($r) = 0 THEN CAST(100.0 AS DOUBLE)
+       |      ELSE CAST(100.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) -
+       |           CAST(damerau_levenshtein($l, $r) AS DOUBLE) /
+       |           CAST(greatest(length($l), length($r)) AS DOUBLE))
+       | END)""".stripMargin.replaceAll("\n\\s*", " ")
 }

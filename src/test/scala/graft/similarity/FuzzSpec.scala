@@ -147,4 +147,55 @@ class FuzzSpec extends SparkSpec {
       "select token_set_ratio('fuzzy was a bear','fuzzy fuzzy was a bear') s").collect()
     assert(r(0).getDouble(0) == 100.0)
   }
+
+  test("damerau_levenshtein: true-DL vectors (DuckDB-cross-checked) + codegen") {
+    // Distinguishers and byte-level values verified against DuckDB
+    // damerau_levenshtein (byte-oriented: 'ş' is 2 UTF-8 bytes):
+    //   CA→ABC = 2 (true DL; OSA would say 3), ab→ba = 1 (transposition),
+    //   kitten→sitting = 3, şehir→sehir = 2, çş→şç = 4, İstanbul→istanbul = 2.
+    val vectors = Seq(
+      ("CA", "ABC", 2), ("ab", "ba", 1), ("abc", "ca", 2),
+      ("kitten", "sitting", 3), ("şehir", "sehir", 2), ("çş", "şç", 4),
+      ("İstanbul", "istanbul", 2), ("", "abc", 3), ("abc", "", 3), ("", "", 0),
+      ("istanbul kadikoy moda cad no 12", "istanbul kadikoy moda cad no 21", 1))
+    vectors.foreach { case (a, b, d) =>
+      assert(Fuzz.damerauLevenshtein(a, b) == d, s"dl($a,$b)")
+      assert(Fuzz.damerauLevenshtein(b, a) == d, s"dl($b,$a) symmetry")
+    }
+    import spark.implicits._
+    val out = vectors.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(FuzzFunctions.damerau_levenshtein($"a", $"b").as("d")).collect()
+    vectors.zip(out).foreach { case ((a, b, d), r) =>
+      assert(r.getInt(0) == d, s"in-plan dl($a,$b)")
+    }
+    FuzzFunctions.register(spark)
+    assert(spark.sql("select damerau_levenshtein('CA','ABC') d").collect()(0).getInt(0) == 2)
+  }
+
+  test("property: DL <= Levenshtein-with-transpositions bounds") {
+    val chars = Gen.oneOf("abc 01".toSeq) // small alphabet → many transpositions
+    val str = Gen.chooseNum(0, 24).flatMap(n => Gen.stringOfN(n, chars))
+    check(Prop.forAll(str, str) { (a: String, b: String) =>
+      val dl = Fuzz.damerauLevenshtein(a, b)
+      val lev = // classic two-row Levenshtein as the reference bound
+        if (a.isEmpty) b.length
+        else if (b.isEmpty) a.length
+        else {
+          var prev = Array.tabulate(b.length + 1)(identity)
+          var cur = new Array[Int](b.length + 1)
+          for (i <- 1 to a.length) {
+            cur(0) = i
+            for (j <- 1 to b.length) {
+              val c = if (a(i - 1) == b(j - 1)) 0 else 1
+              cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + c)
+            }
+            val t = prev; prev = cur; cur = t
+          }
+          prev(b.length)
+        }
+      dl >= 0 && dl <= lev && dl >= math.abs(a.length - b.length) &&
+        dl == Fuzz.damerauLevenshtein(b, a) &&
+        (dl == 0) == (a == b)
+    })
+  }
 }
