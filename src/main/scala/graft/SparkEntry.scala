@@ -3,7 +3,7 @@ package graft
 import graft.blocking.BlockKeys
 import graft.cluster.ConnectedComponents
 import graft.fixtures.AddressFixture
-import graft.matching.{MatchConfig, Matcher}
+import graft.matching.{FellegiSunter, MatchConfig, Matcher}
 import graft.normalize.Normalizer
 import graft.similarity.Scores
 import graft.transcripts.Transcripts
@@ -300,6 +300,55 @@ object SparkEntry {
     s"WITH ${AddressFixture.leftCteDuck},\n${AddressFixture.rightCteDuck}\n$body"
 
   // -------------------------------------------------------------------
+  // Fellegi-Sunter probabilistic linkage (J27) over the address fixture
+  // -------------------------------------------------------------------
+
+  private val fsCfg = FellegiSunter.FsConfig()
+
+  /** Comparison vectors over the blocked address candidates: dl_ratio
+    * text agreement (3 levels), digit-run agreement (2), geo proximity
+    * (3). Blocking is DELIBERATELY coarser than the production match
+    * (`prefix4` = mahalle-name prefix, ~17 blocks): unsupervised EM
+    * needs genuine non-matches in the candidate set to estimate the
+    * u-distribution — the tight digits+prefix6 key yields almost only
+    * true pairs and the model would degenerate (no negative class). */
+  def fsGammas(s: SparkSession, dir: String): DataFrame =
+    FellegiSunter.gammaPairs(
+      addrNorm(AddressFixture.left(s, dir)),
+      addrNorm(AddressFixture.rightAll(s, dir)),
+      fsCfg, blockBy = "prefix4",
+      scorer = graft.similarity.FuzzFunctions.scorers("dl_ratio"),
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+
+  /** EM-learned (λ, m, u) parameter row. */
+  def fsEmParams(s: SparkSession, dir: String): DataFrame =
+    FellegiSunter.emFit(FellegiSunter.gammaCounts(fsGammas(s, dir)), fsCfg)
+
+  /** Pairs at posterior ≥ 0.5 under the learned model. */
+  def fsEmMatch(s: SparkSession, dir: String): DataFrame =
+    FellegiSunter.matchPosteriors(fsGammas(s, dir), fsEmParams(s, dir),
+      fsCfg.posteriorThreshold)
+
+  /** DuckDB mirror of [[fsGammas]] as CTEs ending in
+    * `gam(left_id, right_id, g_t, g_d, g_g)` — continues the
+    * addr_left/addr_right chain from [[withAddrCtes]]. */
+  private def fsGamCte: String = {
+    val normL = Normalizer.normalizeAddressSqlDuck("address")
+    val bk = BlockKeys.prefixKeySqlDuck("t", 4)
+    val ts = Scores.dlRatioSqlDuck("l.t", "r.t")
+    val ds = Scores.digitsScoreSqlDuck("l.t", "r.t")
+    val hav = Scores.haversineKmSqlDuck("l.lat", "l.lon", "r.lat", "r.lon")
+    val geo = Scores.geoScoreKmSqlDuck(hav, 1.5)
+    s"""ln AS (SELECT id, $normL AS t, lat, lon FROM addr_left),
+       |rn AS (SELECT id, $normL AS t, lat, lon FROM addr_right),
+       |lb AS (SELECT *, $bk AS block_key FROM ln),
+       |rb AS (SELECT *, $bk AS block_key FROM rn),
+       |gam AS (SELECT l.id AS left_id, r.id AS right_id,
+       |  ${FellegiSunter.gammasSqlDuck(ts, ds, geo, fsCfg)}
+       |  FROM lb l JOIN rb r ON l.block_key = r.block_key)""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
 
   /** Flagship: full reference-config match (token_set_ratio scorer) on
     * the transcript corpus — normalize → block → score → threshold →
@@ -525,6 +574,11 @@ object SparkEntry {
     // address match (codegen'd expression; DuckDB damerau_levenshtein
     // is the oracle).
     "a_match_dl" -> ((s, dir) => addrMatchDl(s, dir)),
+    // J27 Fellegi-Sunter: EM-learned (λ, m, u) over quantized
+    // responsibilities (integer-exact aggregates → oracle-hashable) and
+    // the posterior-thresholded match set under the learned model.
+    "fs_em_params" -> ((s, dir) => fsEmParams(s, dir)),
+    "fs_em_match" -> ((s, dir) => fsEmMatch(s, dir)),
     // Incremental re-match (the per-ingest-batch production shape):
     // split the corpus by entity-key parity into an "old" committed
     // half and a "new" increment, score only new×all and old×new, and
@@ -663,6 +717,12 @@ object SparkEntry {
     "a_match_lev" -> withAddrCtes(s"SELECT * FROM ($addrMatchBody)"),
     "a_match_dl" -> withAddrCtes(
       s"SELECT * FROM (${addrMatchBodyWith(Scores.dlRatioSqlDuck("l.t", "r.t"))})"),
+    "fs_em_params" -> withAddrCtes(
+      s", $fsGamCte ${FellegiSunter.emChainSqlDuck(fsCfg)} " +
+        FellegiSunter.emParamsSelectSqlDuck(fsCfg)),
+    "fs_em_match" -> withAddrCtes(
+      s", $fsGamCte ${FellegiSunter.emChainSqlDuck(fsCfg)} " +
+        FellegiSunter.emMatchSelectSqlDuck(fsCfg)),
     // incremental == full (see the queries entry), so the oracle is
     // the full-match SQL verbatim
     "a_match_incr" -> withAddrCtes(s"SELECT * FROM ($addrMatchBody)"),
