@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * compare (tools/check_verify.py over the dump dir). */
 object FsDebug {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    val names = if (args.length > 2) args.drop(2).toSeq
+      else Seq("fs_em_params", "fs_em_match")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -16,7 +18,7 @@ object FsDebug {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    for (name <- Seq("fs_em_params", "fs_em_match")) {
+    for (name <- names) {
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     }
@@ -24,7 +26,7 @@ object FsDebug {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val json = Seq("fs_em_params", "fs_em_match")
+    val json = names
       .map(k => s"${q(k)}: ${q(SparkEntry.oracleSql(k))}").mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
     System.err.println(f"[fsdebug] done in ${(System.nanoTime() - t0) / 1e9}%.1fs")

@@ -329,18 +329,37 @@ object SparkEntry {
     FellegiSunter.matchPosteriors(fsGammas(s, dir), fsEmParams(s, dir),
       fsCfg.posteriorThreshold)
 
+  // -------------------------------------------------------------------
+  // Token blocking + meta-blocking (J28) over the address fixture
+  // -------------------------------------------------------------------
+
+  private val mbCfg = graft.blocking.MetaBlocking.MbConfig()
+
+  /** CBS/Jaccard-weighted candidate edges over surviving token blocks. */
+  def mbWeights(s: SparkSession, dir: String): DataFrame =
+    graft.blocking.MetaBlocking.pairWeights(
+      addrNorm(AddressFixture.left(s, dir)),
+      addrNorm(AddressFixture.rightAll(s, dir)),
+      mbCfg, idCol = "id", textCol = "address_norm")
+
   /** DuckDB mirror of [[fsGammas]] as CTEs ending in
     * `gam(left_id, right_id, g_t, g_d, g_g)` — continues the
     * addr_left/addr_right chain from [[withAddrCtes]]. */
-  private def fsGamCte: String = {
+  /** Normalized-side CTEs `ln`/`rn` shared by the FS and meta-blocking
+    * oracles. */
+  private def addrNormCtes: String = {
     val normL = Normalizer.normalizeAddressSqlDuck("address")
+    s"""ln AS (SELECT id, $normL AS t, lat, lon FROM addr_left),
+       |rn AS (SELECT id, $normL AS t, lat, lon FROM addr_right)""".stripMargin
+  }
+
+  private def fsGamCte: String = {
     val bk = BlockKeys.prefixKeySqlDuck("t", 4)
     val ts = Scores.dlRatioSqlDuck("l.t", "r.t")
     val ds = Scores.digitsScoreSqlDuck("l.t", "r.t")
     val hav = Scores.haversineKmSqlDuck("l.lat", "l.lon", "r.lat", "r.lon")
     val geo = Scores.geoScoreKmSqlDuck(hav, 1.5)
-    s"""ln AS (SELECT id, $normL AS t, lat, lon FROM addr_left),
-       |rn AS (SELECT id, $normL AS t, lat, lon FROM addr_right),
+    s"""$addrNormCtes,
        |lb AS (SELECT *, $bk AS block_key FROM ln),
        |rb AS (SELECT *, $bk AS block_key FROM rn),
        |gam AS (SELECT l.id AS left_id, r.id AS right_id,
@@ -579,6 +598,12 @@ object SparkEntry {
     // the posterior-thresholded match set under the learned model.
     "fs_em_params" -> ((s, dir) => fsEmParams(s, dir)),
     "fs_em_match" -> ((s, dir) => fsEmMatch(s, dir)),
+    // J28 meta-blocking: token blocking with block purging, then
+    // weight-edge pruning (mean-CBS threshold) / cardinality-node
+    // pruning (top-k per record by Jaccard).
+    "b_meta_wep" -> ((s, dir) => graft.blocking.MetaBlocking.wep(mbWeights(s, dir))),
+    "b_meta_cnp" -> ((s, dir) =>
+      graft.blocking.MetaBlocking.cnp(mbWeights(s, dir), mbCfg.cnpK)),
     // Incremental re-match (the per-ingest-batch production shape):
     // split the corpus by entity-key parity into an "old" committed
     // half and a "new" increment, score only new×all and old×new, and
@@ -723,6 +748,12 @@ object SparkEntry {
     "fs_em_match" -> withAddrCtes(
       s", $fsGamCte ${FellegiSunter.emChainSqlDuck(fsCfg)} " +
         FellegiSunter.emMatchSelectSqlDuck(fsCfg)),
+    "b_meta_wep" -> withAddrCtes(
+      s", $addrNormCtes, ${graft.blocking.MetaBlocking.pairWeightsCteDuck(mbCfg)} " +
+        graft.blocking.MetaBlocking.wepSelectSqlDuck),
+    "b_meta_cnp" -> withAddrCtes(
+      s", $addrNormCtes, ${graft.blocking.MetaBlocking.pairWeightsCteDuck(mbCfg)} " +
+        graft.blocking.MetaBlocking.cnpSelectSqlDuck(mbCfg.cnpK)),
     // incremental == full (see the queries entry), so the oracle is
     // the full-match SQL verbatim
     "a_match_incr" -> withAddrCtes(s"SELECT * FROM ($addrMatchBody)"),
