@@ -1,7 +1,7 @@
 package graft
 
 import graft.blocking.BlockKeys
-import graft.cluster.ConnectedComponents
+import graft.cluster.{ClusterMetrics, ConnectedComponents}
 import graft.fixtures.AddressFixture
 import graft.matching.{FellegiSunter, MatchConfig, Matcher}
 import graft.normalize.Normalizer
@@ -261,6 +261,15 @@ object SparkEntry {
   def addrClusters(s: SparkSession, dir: String): DataFrame =
     ConnectedComponents.run(addrMatchLev(s, dir), "left_id", "right_id")
 
+  /** A13: ARI + B-cubed + pairwise P/R of the CC clustering vs the
+    * gold entity key (the digits shared by a left id and its r-/s-
+    * variants). Evaluated over clustered records (CC vertices). */
+  def addrClusterMetrics(s: SparkSession, dir: String): DataFrame =
+    graft.cluster.ClusterMetrics.metrics(
+      addrClusters(s, dir)
+        .withColumn("entity", regexp_extract(col("id"), "[0-9]+", 0)),
+      clusterCol = "component", entityCol = "entity")
+
   /** DuckDB mirror of the address-match pipeline: CTEs addr_left/right
     * -> normalized -> blocked -> scored -> ranked. */
   private def addrMatchBody: String =
@@ -345,6 +354,24 @@ object SparkEntry {
   /** DuckDB mirror of [[fsGammas]] as CTEs ending in
     * `gam(left_id, right_id, g_t, g_d, g_g)` — continues the
     * addr_left/addr_right chain from [[withAddrCtes]]. */
+  /** CTEs ending in `cc(id, component)` — the transitive-closure
+    * clustering over accepted address matches (recursive-CTE mirror of
+    * large-star/small-star CC), shared by the a_clusters and
+    * e_cluster_metrics oracles. */
+  private def addrCcCtes: String =
+    s"""m AS ($addrMatchBody),
+       |edges AS (SELECT left_id AS u, right_id AS v FROM m
+       |          UNION SELECT right_id, left_id FROM m),
+       |verts AS (SELECT DISTINCT u AS id FROM edges),
+       |cc AS (SELECT id, component FROM (
+       |  WITH RECURSIVE reach(id, r) AS (
+       |    SELECT id, id FROM verts
+       |    UNION
+       |    SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+       |  )
+       |  SELECT id, min(r) AS component FROM reach GROUP BY id
+       |))""".stripMargin
+
   /** Normalized-side CTEs `ln`/`rn` shared by the FS and meta-blocking
     * oracles. */
   private def addrNormCtes: String = {
@@ -632,6 +659,8 @@ object SparkEntry {
     }),
     // Transitive clustering — large-star/small-star connected components.
     "a_clusters" -> ((s, dir) => addrClusters(s, dir)),
+    // A13 cluster-quality metrics (ARI, B-cubed, pairwise P/R/F1).
+    "e_cluster_metrics" -> ((s, dir) => addrClusterMetrics(s, dir)),
     // Incremental clustering: the committed match pairs split into a
     // prior batch and an increment by a deterministic pair hash; the
     // prior batch is clustered, committed as (id, component), and the
@@ -774,20 +803,14 @@ object SparkEntry {
          |  SELECT id, min(r) AS component FROM reach GROUP BY id
          |)
          |""".stripMargin),
-    "a_clusters" -> withAddrCtes(
+    "a_clusters" -> withAddrCtes(s"\n, $addrCcCtes\nSELECT id, component FROM cc\n"),
+    // A13 cluster-quality metrics: ARI + B-cubed + pairwise P/R over
+    // the CC clustering vs the gold entity key (digits of the id).
+    "e_cluster_metrics" -> withAddrCtes(
       s"""
-         |, m AS ($addrMatchBody),
-         |edges AS (SELECT left_id AS u, right_id AS v FROM m
-         |          UNION SELECT right_id, left_id FROM m),
-         |verts AS (SELECT DISTINCT u AS id FROM edges)
-         |SELECT id, component FROM (
-         |  WITH RECURSIVE reach(id, r) AS (
-         |    SELECT id, id FROM verts
-         |    UNION
-         |    SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
-         |  )
-         |  SELECT id, min(r) AS component FROM reach GROUP BY id
-         |)
+         |, $addrCcCtes,
+         |asg AS (SELECT component AS c, regexp_extract(id, '[0-9]+', 0) AS g FROM cc),
+         |${ClusterMetrics.metricsSqlDuck}
          |""".stripMargin),
     "a_match_index" -> withAddrCtes(
       s"""
