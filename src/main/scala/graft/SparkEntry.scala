@@ -88,6 +88,47 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** DuckDB mirror of the Monge-Elkan match (`m_match_me`): same
+    * candidate/ranking shape as [[matchJwOracle]], with the scorer
+    * mirrored as a `list_avg`/`list_max` comprehension over
+    * `jaro_winkler_similarity` — digit-for-digit the
+    * [[graft.similarity.Fuzz.mongeElkan]] arithmetic (per-direction
+    * left-to-right sum / count, directions averaged, then the shared
+    * combine shape). */
+  private def matchMeOracle: String = withCtes {
+    val bk = BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)
+    val ds = graft.similarity.Scores.digitsScoreSqlDuck("lt", "rt")
+    val me =
+      """(CASE WHEN len(la) = 0 OR len(lb) = 0 THEN 0.0::DOUBLE
+        |       ELSE (list_avg([list_max([jaro_winkler_similarity(x, y) for y in lb]) for x in la])
+        |             + list_avg([list_max([jaro_winkler_similarity(y, x) for x in la]) for y in lb])) / 2.0
+        |  END)""".stripMargin
+    s"""
+       |, sides AS (SELECT conv_id, variant, text_norm, $bk AS block_key FROM conv_norm)
+       |, cand AS (
+       |  SELECT l.conv_id AS left_id, r.conv_id AS right_id,
+       |         l.text_norm AS lt, r.text_norm AS rt,
+       |         list_filter(string_split_regex(l.text_norm, '\\s+'), t -> t <> '') AS la,
+       |         list_filter(string_split_regex(r.text_norm, '\\s+'), t -> t <> '') AS lb
+       |  FROM sides l JOIN sides r ON l.block_key = r.block_key
+       |  WHERE l.variant = 0 AND r.variant > 0
+       |)
+       |, scored AS (
+       |  SELECT left_id, right_id,
+       |         round(($me * 100.0 * 0.8::DOUBLE
+       |                + $ds::DOUBLE * 0.15::DOUBLE)
+       |               / (0.8::DOUBLE + 0.15::DOUBLE), 2) AS score
+       |  FROM cand
+       |)
+       |, ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY left_id
+       |                               ORDER BY score DESC, right_id ASC) AS rn
+       |  FROM scored WHERE score >= 60.0
+       |)
+       |SELECT left_id, right_id, score FROM ranked WHERE rn <= 3
+       |""".stripMargin
+  }
+
   /** DuckDB mirror of the LSH-blocked match (`m_match_lsh`): the
     * shingle→signature→band chain is [[graft.dedup.Dedup.minhashBandsSqlDuck]]
     * (digit-for-digit the Spark arithmetic); candidates = DISTINCT
@@ -564,6 +605,19 @@ object SparkEntry {
         sortKeys = Seq(identity, (c: Column) => reverse(c)),
         idCol = "conv_id", textCol = "text_norm", window = 10)
     }),
+    // J6 scorer family: symmetric Monge-Elkan hybrid (token-level
+    // best-match alignment, Jaro-Winkler inside tokens) over the
+    // reference block-key generator — the classic middle ground
+    // between token_set_ratio (exact token overlap) and whole-string
+    // jaro_winkler for reordered/partially-misspelled text.
+    "m_match_me" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      Matcher.matchPairs(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        MatchConfig.reference.copy(scorer = "monge_elkan"),
+        idCol = "conv_id", textCol = "text_norm")
+    }),
     // COMPOSITE blocking (north-star phrase literal): block-key
     // candidates UNION band candidates, one ranking over both.
     "m_match_comp" -> ((s, dir) => {
@@ -659,6 +713,11 @@ object SparkEntry {
     }),
     // Transitive clustering — large-star/small-star connected components.
     "a_clusters" -> ((s, dir) => addrClusters(s, dir)),
+    // Star clustering: single-pass hub assignment over the same
+    // accepted match edges — the bounded-diameter, chaining-proof
+    // alternative to transitive closure (StarClustering scaladoc).
+    "a_clusters_star" -> ((s, dir) =>
+      graft.cluster.StarClustering.assign(addrMatchLev(s, dir))),
     // A13 cluster-quality metrics (ARI, B-cubed, pairwise P/R/F1).
     "e_cluster_metrics" -> ((s, dir) => addrClusterMetrics(s, dir)),
     // Incremental clustering: the committed match pairs split into a
@@ -804,6 +863,26 @@ object SparkEntry {
          |)
          |""".stripMargin),
     "a_clusters" -> withAddrCtes(s"\n, $addrCcCtes\nSELECT id, component FROM cc\n"),
+    // Window-function mirror of the one-hop hub assignment: symmetrized
+    // distinct edges -> degree -> argmax (deg DESC, nb ASC) over
+    // neighbors + self. No recursion — same three relational steps as
+    // the Spark plan.
+    "a_clusters_star" -> withAddrCtes(
+      s"""
+         |, m AS ($addrMatchBody)
+         |, edges AS (SELECT left_id AS u, right_id AS v FROM m
+         |            UNION SELECT right_id, left_id FROM m)
+         |, deg AS (SELECT u AS id, count(*) AS deg FROM edges GROUP BY u)
+         |, nbr AS (SELECT u AS id, v AS nb FROM edges
+         |          UNION ALL SELECT id, id FROM deg)
+         |, cand AS (SELECT n.id, n.nb, d.deg FROM nbr n JOIN deg d ON d.id = n.nb)
+         |SELECT id, nb AS cluster FROM (
+         |  SELECT id, nb,
+         |         row_number() OVER (PARTITION BY id
+         |                            ORDER BY deg DESC, nb ASC) AS rn
+         |  FROM cand)
+         |WHERE rn = 1
+         |""".stripMargin),
     // A13 cluster-quality metrics: ARI + B-cubed + pairwise P/R over
     // the CC clustering vs the gold entity key (digits of the id).
     "e_cluster_metrics" -> withAddrCtes(
@@ -931,6 +1010,7 @@ object SparkEntry {
     // incremental LSH fold is provably = the full LSH match, so the
     // oracle is the full-match SQL verbatim
     "m_match_lsh_incr" -> matchLshOracle,
+    "m_match_me" -> matchMeOracle,
     "m_match_sn" -> matchSnOracle,
     "m_match_sn_mp" -> matchSnOracleWith(Seq("t", "reverse(t)")),
     "e_blocking_quality" -> withCtes {

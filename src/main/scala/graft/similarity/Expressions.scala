@@ -115,6 +115,18 @@ case class JaroWinkler(left: Expression, right: Expression) extends FuzzBinaryEx
     copy(left = l, right = r)
 }
 
+/** Symmetric Monge-Elkan hybrid similarity, 0..1 (see
+  * [[Fuzz.mongeElkan]]) — token-level alignment with Jaro-Winkler as
+  * the inner scorer; the DuckDB oracle is a `list_avg`/`list_max`
+  * comprehension over `jaro_winkler_similarity`. */
+case class MongeElkan(left: Expression, right: Expression) extends FuzzBinaryExpression {
+  override protected def staticCall: String = "graft.similarity.Fuzz.mongeElkan"
+  override protected def score(a: String, b: String): Double = Fuzz.mongeElkan(a, b)
+  override def prettyName: String = "monge_elkan"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** True (unrestricted) Damerau-Levenshtein DISTANCE (IntegerType, like
   * Spark's built-in `levenshtein`) — Spark has no Damerau variant;
   * DuckDB's `damerau_levenshtein` is the oracle. Byte-oriented (see
@@ -157,6 +169,8 @@ object FuzzFunctions {
     GraftShim.column(TokenSetRatioPreTok(GraftShim.expression(a), GraftShim.expression(b)))
   def damerau_levenshtein(a: Column, b: Column): Column =
     GraftShim.column(DamerauLevenshtein(GraftShim.expression(a), GraftShim.expression(b)))
+  def monge_elkan(a: Column, b: Column): Column =
+    GraftShim.column(MongeElkan(GraftShim.expression(a), GraftShim.expression(b)))
 
   /** The once-per-row tokenization feeding [[token_set_ratio_pretok]]:
     * whitespace-split, drop empties, distinct, binary sort — exactly the
@@ -201,7 +215,10 @@ object FuzzFunctions {
           damerau_levenshtein(a, b).cast("double") /
             org.apache.spark.sql.functions.greatest(
               org.apache.spark.sql.functions.length(a),
-              org.apache.spark.sql.functions.length(b)).cast("double"))))
+              org.apache.spark.sql.functions.length(b)).cast("double")))),
+    // Symmetric Monge-Elkan (0..1 natively, scaled like jaro_winkler):
+    // token-level best-match alignment with JW inside each token.
+    "monge_elkan" -> ((a: Column, b: Column) => monge_elkan(a, b) * 100.0)
   )
   private def lit100 = org.apache.spark.sql.functions.lit(100.0)
   private def lit1 = org.apache.spark.sql.functions.lit(1.0)
@@ -217,5 +234,6 @@ object FuzzFunctions {
     reg.createOrReplaceTempFunction("token_sort_ratio", es => TokenSortRatio(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("damerau_levenshtein", es => DamerauLevenshtein(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("monge_elkan", es => MongeElkan(es.head, es(1)), "built-in")
   }
 }

@@ -565,4 +565,42 @@ object Fuzz {
   def damerauLevenshteinUTF8(a: org.apache.spark.unsafe.types.UTF8String,
       b: org.apache.spark.unsafe.types.UTF8String): Int =
     damerauLevenshteinBytes(a.getBytes, b.getBytes)
+
+  /** Symmetric Monge-Elkan hybrid similarity on 0..1 (Monge & Elkan
+    * 1996): mean over the tokens of one side of the best Jaro-Winkler
+    * match on the other side, averaged over both directions. Tolerates
+    * token insertion/deletion/reorder (each token finds its own best
+    * counterpart) while staying character-level fuzzy WITHIN tokens —
+    * the classic middle ground between `token_set_ratio` (exact token
+    * overlap) and whole-string `jaro_winkler`. Whitespace tokenization
+    * (empties dropped) matches the engine's normalized single-spaced
+    * text; either side tokenless → 0.0. Arithmetic shape (per-direction
+    * left-to-right sum / count, then the two directions averaged) is
+    * mirrored digit-for-digit by the DuckDB oracle's
+    * `list_avg`/`list_max` comprehension over
+    * `jaro_winkler_similarity`, so match oracles hash bit-for-bit.
+    * O(|A|·|B|) token pairs per scored pair — same cost class as the
+    * other scorers on short keys. */
+  def mongeElkan(a: String, b: String): Double = {
+    val ta = a.split("\\s+").filter(_.nonEmpty)
+    val tb = b.split("\\s+").filter(_.nonEmpty)
+    if (ta.isEmpty || tb.isEmpty) return 0.0
+    def direction(xs: Array[String], ys: Array[String]): Double = {
+      var sum = 0.0
+      var i = 0
+      while (i < xs.length) {
+        var best = 0.0
+        var j = 0
+        while (j < ys.length) {
+          val s = jaroWinkler(xs(i), ys(j))
+          if (s > best) best = s
+          j += 1
+        }
+        sum += best
+        i += 1
+      }
+      sum / xs.length
+    }
+    (direction(ta, tb) + direction(tb, ta)) / 2.0
+  }
 }

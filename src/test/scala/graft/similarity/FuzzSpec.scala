@@ -172,6 +172,38 @@ class FuzzSpec extends SparkSpec {
     assert(spark.sql("select damerau_levenshtein('CA','ABC') d").collect()(0).getInt(0) == 2)
   }
 
+  test("monge_elkan: DuckDB-cross-checked vectors + codegen + properties") {
+    // Values computed by the oracle's own DuckDB comprehension
+    // (list_avg/list_max over jaro_winkler_similarity, byte-oriented).
+    val vectors = Seq(
+      ("ankara cad 15 b blok", "ankara caddesi no 15", 0.7762500000000001),
+      ("istanbul kadikoy", "istanbul kadikoy", 1.0),
+      ("moda cad istanbul", "istanbul moda cad", 1.0), // reorder-invariant
+      ("abc", "abc xyz", 0.75),
+      ("kadikoy moda caddesi no 12 d 3", "kadiköy moda cd no:12 daire 3",
+        0.821343537414966),
+      ("", "abc", 0.0), ("", "", 0.0))
+    vectors.foreach { case (a, b, e) =>
+      assert(math.abs(Fuzz.mongeElkan(a, b) - e) < 1e-12, s"me($a,$b)")
+      assert(Fuzz.mongeElkan(a, b) == Fuzz.mongeElkan(b, a), s"me($b,$a) symmetry")
+    }
+    import spark.implicits._
+    val out = vectors.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(FuzzFunctions.monge_elkan($"a", $"b").as("s")).collect()
+    vectors.zip(out).foreach { case ((a, b, e), r) =>
+      assert(math.abs(r.getDouble(0) - e) < 1e-12, s"in-plan me($a,$b)")
+    }
+    FuzzFunctions.register(spark)
+    assert(spark.sql("select monge_elkan('a b','a b') s").collect()(0).getDouble(0) == 1.0)
+    // Bounds + symmetry everywhere; on single-token inputs ME
+    // degenerates to plain Jaro-Winkler (alphaNumStr has no whitespace).
+    check(Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a: String, b: String) =>
+      val s = Fuzz.mongeElkan(a, b)
+      s >= 0.0 && s <= 1.0 && s == Fuzz.mongeElkan(b, a) &&
+        (if (a.isEmpty || b.isEmpty) s == 0.0 else s == Fuzz.jaroWinkler(a, b))
+    })
+  }
+
   test("property: DL <= Levenshtein-with-transpositions bounds") {
     val chars = Gen.oneOf("abc 01".toSeq) // small alphabet → many transpositions
     val str = Gen.chooseNum(0, 24).flatMap(n => Gen.stringOfN(n, chars))
