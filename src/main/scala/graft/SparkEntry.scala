@@ -618,6 +618,16 @@ object SparkEntry {
         MatchConfig.reference.copy(scorer = "monge_elkan"),
         idCol = "conv_id", textCol = "text_norm")
     }),
+    // J29 exact set-similarity join: prefix-filtered token-Jaccard
+    // threshold join — provably no false negatives (SetSimJoin
+    // scaladoc), the exact counterpart to the MinHash-LSH generator.
+    "m_setsim_pf" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      graft.blocking.SetSimJoin.jaccardJoin(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        threshold = 0.5, idCol = "conv_id", textCol = "text_norm")
+    }),
     // COMPOSITE blocking (north-star phrase literal): block-key
     // candidates UNION band candidates, one ranking over both.
     "m_match_comp" -> ((s, dir) => {
@@ -1011,6 +1021,14 @@ object SparkEntry {
     // oracle is the full-match SQL verbatim
     "m_match_lsh_incr" -> matchLshOracle,
     "m_match_me" -> matchMeOracle,
+    // J29: full mirror of the prefix-filtered exact Jaccard join
+    // (SetSimJoin.jaccardJoinSqlDuck) over the transcript sides.
+    "m_setsim_pf" -> withCtes(
+      s"""
+         |, ln AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant = 0)
+         |, rn AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant > 0)
+         |, ${graft.blocking.SetSimJoin.jaccardJoinSqlDuck(0.5)}
+         |""".stripMargin),
     "m_match_sn" -> matchSnOracle,
     "m_match_sn_mp" -> matchSnOracleWith(Seq("t", "reverse(t)")),
     "e_blocking_quality" -> withCtes {

@@ -1,0 +1,123 @@
+package graft.blocking
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtered exact set-similarity join (J29): equality with the
+  * brute-force all-pairs join (the no-false-negative guarantee, tested
+  * end to end), pruning reality, determinism, and plan shape. */
+class SetSimJoinSpec extends SparkSpec {
+
+  /** Brute-force oracle: every cross pair with exact token-set Jaccard
+    * ≥ t — same tokenization (distinct non-empty whitespace tokens). */
+  private def brute(left: DataFrame, right: DataFrame, t: Double): DataFrame = {
+    def sets(df: DataFrame, side: String) =
+      MetaBlocking.membership(df, "id", "text")
+        .groupBy(col("id").as(s"${side}_id"))
+        .agg(collect_set(col("tok")).as(s"${side.head}_ts"))
+    val inter = size(array_intersect(col("l_ts"), col("r_ts")))
+    val union = size(col("l_ts")) + size(col("r_ts")) - inter
+    sets(left, "left").crossJoin(sets(right, "right"))
+      .select(col("left_id"), col("right_id"),
+        (inter.cast("double") / union.cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= lit(t))
+  }
+
+  private def df(rows: (String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("equals brute force on hand-built edge cases") {
+    val l = df("l1" -> "a b c d", "l2" -> "x y", "l3" -> "", "l4" -> "q",
+      "l5" -> "m n o p r s t u")
+    val r = df("r1" -> "a b c e", "r2" -> "x y", "r3" -> "z", "r4" -> "q",
+      "r5" -> "m n o p", "r6" -> "   ")
+    for (t <- Seq(0.3, 0.5, 0.75, 1.0)) {
+      val got = SetSimJoin.jaccardJoin(l, r, t).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+      val want = brute(l, r, t).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+      assert(got == want, s"t=$t: got $got want $want")
+    }
+    // spot-check a known value: |{a,b,c,d} ∩ {a,b,c,e}| / |union| = 3/5
+    val j = SetSimJoin.jaccardJoin(l, r, 0.5)
+      .filter(col("left_id") === "l1" && col("right_id") === "r1")
+      .collect()(0).getDouble(2)
+    assert(j == 0.6)
+  }
+
+  test("equals brute force on random data across thresholds") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("ank", "ist", "izm", "cad", "sok", "no", "12", "5",
+      "mah", "kat", "blok", "d")
+    def rec(n: Int, p: String) = (0 until n).map { i =>
+      val k = 1 + rnd.nextInt(7)
+      (s"$p$i", Seq.fill(k)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val l = df(rec(60, "l"): _*)
+    val r = df(rec(90, "r"): _*)
+    for (t <- Seq(0.34, 0.6, 0.85)) {
+      val got = SetSimJoin.jaccardJoin(l, r, t).collect()
+        .map(x => (x.getString(0), x.getString(1))).toSet
+      val want = brute(l, r, t).collect()
+        .map(x => (x.getString(0), x.getString(1))).toSet
+      assert((want -- got).isEmpty, s"t=$t FALSE NEGATIVES: ${want -- got}")
+      assert((got -- want).isEmpty, s"t=$t false positives: ${got -- want}")
+    }
+  }
+
+  test("fixture: matches brute force; prefixes really prune; no cartesian") {
+    val conv = graft.SparkEntry.convNorm(spark, sf0001)
+      .withColumnRenamed("conv_id", "id").withColumnRenamed("text_norm", "text")
+      .cache()
+    val l = conv.filter(col("variant") === 0)
+    val r = conv.filter(col("variant") > 0)
+    val out = SetSimJoin.jaccardJoin(l, r, 0.5, "id", "text").cache()
+    val got = out.collect().map(x => (x.getString(0), x.getString(1))).toSet
+    val want = brute(l.select(col("id"), col("text")),
+      r.select(col("id"), col("text")), 0.5)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(got.nonEmpty, "fixture should produce matches at t=0.5")
+    // the plan is equi-joins end to end — prefix filtering is the
+    // candidate bound, never a cross product
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"),
+      "set-sim join must not plan a cartesian product")
+    // rare-first prefixes keep candidate keys cold: every record's
+    // prefix is strictly shorter than its token set once len > 1/(1-t)
+    val lm = MetaBlocking.membership(l, "id", "text")
+    val full = lm.count()
+    val kept = lm.join(
+      lm.select("tok").unionAll(
+        MetaBlocking.membership(r, "id", "text").select("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")), Seq("tok"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("cnt").asc, col("tok").asc)))
+      .withColumn("len", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      .filter(col("pos") <= col("len") - ceil(lit(0.5) * col("len")) + 1)
+      .count()
+    assert(kept < full, s"prefix kept all $full membership rows")
+    info(s"prefix kept $kept of $full membership rows")
+    out.unpersist(); conv.unpersist()
+  }
+
+  test("partitioning-independent") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def rec(n: Int, p: String) = (0 until n).map { i =>
+      (s"$p$i", Seq.fill(1 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val l = df(rec(30, "l"): _*)
+    val r = df(rec(30, "r"): _*)
+    val a = SetSimJoin.jaccardJoin(l, r, 0.5).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+    val b = SetSimJoin.jaccardJoin(l.repartition(13), r.repartition(3), 0.5)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+    assert(a == b)
+  }
+}
