@@ -730,6 +730,16 @@ object SparkEntry {
       graft.cluster.StarClustering.assign(addrMatchLev(s, dir))),
     // A13 cluster-quality metrics (ARI, B-cubed, pairwise P/R/F1).
     "e_cluster_metrics" -> ((s, dir) => addrClusterMetrics(s, dir)),
+    // A15 golden-record survivorship: collapse each CC cluster to one
+    // canonical record (min-id handle, majority-vote + most-complete
+    // text rules — GoldenRecord scaladoc).
+    "a_golden" -> ((s, dir) => {
+      val recs = addrNorm(AddressFixture.left(s, dir))
+        .unionAll(addrNorm(AddressFixture.rightAll(s, dir)))
+        .select(col("id"), col("address_norm"))
+      graft.cluster.GoldenRecord.merge(
+        recs, addrClusters(s, dir), idCol = "id", textCol = "address_norm")
+    }),
     // Incremental clustering: the committed match pairs split into a
     // prior batch and an increment by a deterministic pair hash; the
     // prior batch is clustered, committed as (id, component), and the
@@ -792,6 +802,16 @@ object SparkEntry {
         .filter(col("rn") === 1).drop("rn")
       Matcher.evalMerge(gold, best)
     }),
+    // T1 gap-based sessionization over the events stream (12h gap):
+    // lag + prefix-sum windows inside one shuffle on user_id.
+    "s_sessions" -> ((s, dir) =>
+      graft.sessions.Sessionize.assignSessions(
+          s.read.parquet(s"$dir/events.parquet"), gapSeconds = 43200L)
+        .select("user_id", "event_id", "ts", "session_idx")),
+    "s_session_stats" -> ((s, dir) =>
+      graft.sessions.Sessionize.sessionStats(
+        graft.sessions.Sessionize.assignSessions(
+          s.read.parquet(s"$dir/events.parquet"), gapSeconds = 43200L))),
     // W3: deterministic sampling (hash-order + limit; seed-stable).
     "w_sample" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -901,6 +921,20 @@ object SparkEntry {
          |asg AS (SELECT component AS c, regexp_extract(id, '[0-9]+', 0) AS g FROM cc),
          |${ClusterMetrics.metricsSqlDuck}
          |""".stripMargin),
+    // A15: golden-record survivorship over the CC clusters — member
+    // records joined to components, then the GoldenRecord rule mirror.
+    "a_golden" -> withAddrCtes {
+      val normL = Normalizer.normalizeAddressSqlDuck("address")
+      s"""
+         |, $addrCcCtes,
+         |grec AS (
+         |  SELECT c.component, s.id, s.t FROM (
+         |    SELECT id, $normL AS t FROM addr_left
+         |    UNION ALL SELECT id, $normL AS t FROM addr_right) s
+         |  JOIN cc c ON s.id = c.id),
+         |${graft.cluster.GoldenRecord.mergeSqlDuck}
+         |""".stripMargin
+    },
     "a_match_index" -> withAddrCtes(
       s"""
          |, l AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM addr_left),
@@ -943,6 +977,12 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN gold_right = pred_right THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accuracy
          |FROM j
          |""".stripMargin),
+    // T1: full mirrors of the sessionization windows (exact integer
+    // microsecond arithmetic both sides).
+    "s_sessions" ->
+      graft.sessions.Sessionize.assignSessionsSqlDuck("events", gapSeconds = 43200L),
+    "s_session_stats" ->
+      graft.sessions.Sessionize.sessionStatsSqlDuck("events", gapSeconds = 43200L),
     "w_sample" ->
       "SELECT doc_id FROM documents ORDER BY md5(CAST(doc_id AS STRING)) LIMIT 100",
     "f_lowconf" -> """

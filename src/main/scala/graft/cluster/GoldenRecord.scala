@@ -1,0 +1,85 @@
+package graft.cluster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Golden-record survivorship (A15) — the step AFTER clustering that
+  * every production ER pipeline needs and the reference stops short of:
+  * collapse each entity cluster to ONE canonical record via
+  * deterministic survivorship rules. Rules here are the classic trio
+  * (Talburt's ER texts; Christen, "Data Matching", ch. 2.5 calls this
+  * the merge/fusion step):
+  *
+  *   - `canonical_id`  — smallest member id (stable join handle),
+  *   - `text_mode`     — most frequent value, ties to the
+  *     lexicographically smallest (majority vote survivorship),
+  *   - `text_longest`  — longest value, same tie-break (most-complete
+  *     survivorship, the usual rule for free-text fields).
+  *
+  * Scale shape: one id-keyed join (records → assignments), ONE
+  * data-sized groupBy per rule family — `(component, value)` counts
+  * feed BOTH value rules, so the full text column is shuffled exactly
+  * once — then window ranks over the (much smaller) distinct-value
+  * table and a map-side-combinable scalar agg for id/count. No
+  * windows over raw records, no collect, no iteration. Every rule is
+  * an exact integer/lexicographic argmax → partitioning-independent
+  * and DuckDB-hashable.
+  */
+object GoldenRecord {
+
+  /** One canonical row per cluster.
+    *
+    * @param records     (idCol, textCol) — one row per member record
+    * @param assignments (idCol, componentCol) — e.g.
+    *                    [[ConnectedComponents.run]] output
+    * @return (component, canonical_id, n_members, text_mode, text_longest)
+    */
+  def merge(
+      records: DataFrame,
+      assignments: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text",
+      componentCol: String = "component"): DataFrame = {
+    val rec = records.select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(assignments.select(col(idCol).as("id"), col(componentCol).as("component")), Seq("id"))
+    val scalar = rec.groupBy(col("component"))
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("n_members"))
+    // one pass over the records carries the text; both value rules rank
+    // the distinct-value table, never the raw records
+    val counts = rec.groupBy(col("component"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+    def pick(w: org.apache.spark.sql.expressions.WindowSpec, as: String) =
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("component"), col("t").as(as))
+    val mode = pick(
+      Window.partitionBy("component").orderBy(col("cnt").desc, col("t").asc), "text_mode")
+    val longest = pick(
+      Window.partitionBy("component").orderBy(length(col("t")).desc, col("t").asc), "text_longest")
+    scalar.join(mode, Seq("component")).join(longest, Seq("component"))
+  }
+
+  // -------------------------------------------------------------------
+  // DuckDB mirror
+  // -------------------------------------------------------------------
+
+  /** Mirror of [[merge]]: expects a CTE `grec(component, id, t)` (the
+    * already-joined member records) in scope; CTE chain + final SELECT
+    * `(component, canonical_id, n_members, text_mode, text_longest)`. */
+  def mergeSqlDuck: String =
+    s"""gr_scalar AS (SELECT component, min(id) AS canonical_id,
+       |                     count(*) AS n_members FROM grec GROUP BY component),
+       |gr_cnt AS (SELECT component, t, count(*) AS cnt FROM grec GROUP BY component, t),
+       |gr_mode AS (SELECT component, t AS text_mode FROM (
+       |  SELECT component, t, row_number() OVER (
+       |    PARTITION BY component ORDER BY cnt DESC, t ASC) AS rn FROM gr_cnt)
+       |  WHERE rn = 1),
+       |gr_long AS (SELECT component, t AS text_longest FROM (
+       |  SELECT component, t, row_number() OVER (
+       |    PARTITION BY component ORDER BY length(t) DESC, t ASC) AS rn FROM gr_cnt)
+       |  WHERE rn = 1)
+       |SELECT s.component, s.canonical_id, s.n_members, m.text_mode, l.text_longest
+       |FROM gr_scalar s
+       |JOIN gr_mode m ON s.component = m.component
+       |JOIN gr_long l ON s.component = l.component""".stripMargin
+}

@@ -1,0 +1,72 @@
+package graft.cluster
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden-record survivorship (A15): rule semantics on hand-built
+  * clusters, tie-breaks, fixture sanity, partitioning invariance. */
+class GoldenRecordSpec extends SparkSpec {
+
+  private def recs(rows: (String, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+  private def asg(rows: (String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("id", "component")
+  }
+
+  test("majority vote, most-complete, min-id handle") {
+    val r = recs(
+      "a1" -> "ankara merkez", "a2" -> "ankara merkez", "a3" -> "ank mrk uzun cadde",
+      "b1" -> "izmir")
+    val a = asg("a1" -> 1L, "a2" -> 1L, "a3" -> 1L, "b1" -> 2L)
+    val got = GoldenRecord.merge(r, a).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getString(3), x.getString(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "a1", 3L, "ankara merkez", "ank mrk uzun cadde"),
+      (2L, "b1", 1L, "izmir", "izmir")))
+  }
+
+  test("tie-breaks are lexicographic on both rules") {
+    // two values with equal frequency AND equal length
+    val r = recs("x1" -> "bbb", "x2" -> "aaa", "x3" -> "bbb", "x4" -> "aaa")
+    val a = asg("x1" -> 9L, "x2" -> 9L, "x3" -> 9L, "x4" -> 9L)
+    val row = GoldenRecord.merge(r, a).collect()(0)
+    assert(row.getString(3) == "aaa" && row.getString(4) == "aaa")
+    // mode beats length: frequent short value wins mode, long one wins longest
+    val r2 = recs("y1" -> "kk", "y2" -> "kk", "y3" -> "uzun sokak")
+    val row2 = GoldenRecord.merge(r2, asg("y1" -> 5L, "y2" -> 5L, "y3" -> 5L)).collect()(0)
+    assert(row2.getString(3) == "kk" && row2.getString(4) == "uzun sokak")
+  }
+
+  test("fixture: every cluster collapses to one row; canonical_id is a member") {
+    val recsF = graft.SparkEntry.addrNorm(
+        graft.fixtures.AddressFixture.left(spark, sf0001))
+      .unionAll(graft.SparkEntry.addrNorm(
+        graft.fixtures.AddressFixture.rightAll(spark, sf0001)))
+      .select(col("id"), col("address_norm"))
+    val clusters = graft.SparkEntry.addrClusters(spark, sf0001).cache()
+    val golden = GoldenRecord.merge(recsF, clusters, textCol = "address_norm").cache()
+    val nClusters = clusters.select("component").distinct().count()
+    assert(golden.count() == nClusters && nClusters > 0)
+    // canonical_id really is a cluster member of its component
+    val bad = golden.join(clusters,
+      golden("canonical_id") === clusters("id") &&
+        golden("component") === clusters("component"), "left_anti").count()
+    assert(bad == 0)
+    // n_members sums to the number of clustered records
+    val total = golden.agg(sum("n_members")).collect()(0).getLong(0)
+    assert(total == clusters.count())
+    golden.unpersist(); clusters.unpersist()
+  }
+
+  test("partitioning-independent") {
+    val r = recs((1 to 40).map(i => (s"id$i", s"val${i % 7}")): _*)
+    val a = asg((1 to 40).map(i => (s"id$i", (i % 5).toLong)): _*)
+    def run(rp: Int) = GoldenRecord.merge(r.repartition(rp), a.repartition(rp + 1))
+      .collect().map(_.toString).toSet
+    assert(run(2) == run(11))
+  }
+}
