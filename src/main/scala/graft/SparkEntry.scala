@@ -812,6 +812,19 @@ object SparkEntry {
       graft.sessions.Sessionize.sessionStats(
         graft.sessions.Sessionize.assignSessions(
           s.read.parquet(s"$dir/events.parquet"), gapSeconds = 43200L))),
+    // T2 as-of join: for every event, the latest prior (ts-inclusive)
+    // error event of the same user — sort-merge window formulation,
+    // one shuffle, zero join fan-out (AsOfJoin scaladoc).
+    "j_asof" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.temporal.AsOfJoin.nearestPrior(
+        ev.select("user_id", "event_id", "ts"),
+        ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("err_ts"),
+            col("event_id").as("err_event_id")),
+        keyCol = "user_id", leftTsCol = "ts",
+        rightTsCol = "err_ts", rightTieCol = "err_event_id")
+    }),
     // W3: deterministic sampling (hash-order + limit; seed-stable).
     "w_sample" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -983,6 +996,18 @@ object SparkEntry {
       graft.sessions.Sessionize.assignSessionsSqlDuck("events", gapSeconds = 43200L),
     "s_session_stats" ->
       graft.sessions.Sessionize.sessionStatsSqlDuck("events", gapSeconds = 43200L),
+    // T2: independent-implementation oracle — DuckDB's native ASOF
+    // LEFT JOIN over the same sides, ties pre-deduped to the row the
+    // Spark window picks.
+    "j_asof" -> {
+      val asof = graft.temporal.AsOfJoin.nearestPriorSqlDuck(
+        "le", "re", "user_id", "ts", "err_ts", "err_event_id",
+        leftCols = Seq("event_id", "ts"), payCols = Seq("err_ts", "err_event_id"))
+      s"""WITH le AS (SELECT user_id, event_id, ts FROM events),
+         |re AS (SELECT user_id, ts AS err_ts, event_id AS err_event_id
+         |       FROM events WHERE event_type = 'error')
+         |$asof""".stripMargin
+    },
     "w_sample" ->
       "SELECT doc_id FROM documents ORDER BY md5(CAST(doc_id AS STRING)) LIMIT 100",
     "f_lowconf" -> """
