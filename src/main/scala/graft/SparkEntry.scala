@@ -825,6 +825,20 @@ object SparkEntry {
         keyCol = "user_id", leftTsCol = "ts",
         rightTsCol = "err_ts", rightTieCol = "err_event_id")
     }),
+    // T3 binned range join: every event inside a 1h incident window
+    // opened by each error event of the same user — (key, bin)
+    // equi-join, exact filter, no per-key all-pairs (RangeJoin scaladoc).
+    "j_range" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.temporal.RangeJoin.pointInInterval(
+        ev.select("user_id", "event_id", "ts"),
+        ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_event_id"),
+            col("ts").as("win_lo"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("win_hi")),
+        keyCol = "user_id", ptCol = "ts", loCol = "win_lo", hiCol = "win_hi",
+        binSeconds = 3600L)
+    }),
     // W3: deterministic sampling (hash-order + limit; seed-stable).
     "w_sample" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -1007,6 +1021,19 @@ object SparkEntry {
          |re AS (SELECT user_id, ts AS err_ts, event_id AS err_event_id
          |       FROM events WHERE event_type = 'error')
          |$asof""".stripMargin
+    },
+    // T3: independent-formulation oracle — the plain range-predicate
+    // join, no bins.
+    "j_range" -> {
+      val rj = graft.temporal.RangeJoin.pointInIntervalSqlDuck(
+        "pts", "ivs", "user_id", "ts", "win_lo", "win_hi",
+        ptCols = Seq("event_id", "ts"),
+        payCols = Seq("err_event_id", "win_lo", "win_hi"))
+      s"""WITH pts AS (SELECT user_id, event_id, ts FROM events),
+         |ivs AS (SELECT user_id, event_id AS err_event_id, ts AS win_lo,
+         |               ts + INTERVAL 1 HOUR AS win_hi
+         |        FROM events WHERE event_type = 'error')
+         |$rj""".stripMargin
     },
     "w_sample" ->
       "SELECT doc_id FROM documents ORDER BY md5(CAST(doc_id AS STRING)) LIMIT 100",
