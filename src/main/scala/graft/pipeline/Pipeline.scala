@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   case class StageResult(table: String, rows: Long, resumed: Boolean)
-  case class Result(stages: Seq[StageResult], matches: DataFrame, clusters: DataFrame)
+  case class Result(
+      stages: Seq[StageResult],
+      matches: DataFrame,
+      clusters: DataFrame,
+      golden: DataFrame)
 
   /** The match-stage DataFrame exactly as [[run]] computes it: salted
     * with the committed hot-key statistic when the config salts and no
@@ -115,6 +119,17 @@ object Pipeline {
     }
     ccResult.foreach(graft.util.CheckpointHygiene.free)
 
+    // survivorship: one canonical record per entity cluster — the
+    // pipeline's user-facing output table (GoldenRecord scaladoc).
+    // Reads the committed clusters snapshot, so it resumes like any
+    // other stage.
+    val (golden, r4) = TableIO.resumeOrCompute(spark, workRoot, "golden",
+      lineage("golden")) {
+      graft.cluster.GoldenRecord.merge(
+        convNorm.select(col("conv_id").as("id"), col("text_norm")),
+        clusters, idCol = "id", textCol = "text_norm")
+    }
+
     Result(
       Seq(StageResult("conv_norm", convNorm.count(), r1)) ++
         hotStage.map { case (df, resumed) =>
@@ -122,7 +137,8 @@ object Pipeline {
         } ++
         Seq(
           StageResult("matches", matches.count(), r2),
-          StageResult("clusters", clusters.count(), r3)),
-      matches, clusters)
+          StageResult("clusters", clusters.count(), r3),
+          StageResult("golden", golden.count(), r4)),
+      matches, clusters, golden)
   }
 }

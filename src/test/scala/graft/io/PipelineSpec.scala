@@ -35,7 +35,10 @@ class PipelineSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft_pipe").toString
     val res = Pipeline.run(spark, sf0001, root, cfg)
     assert(res.stages.map(_.table) ==
-      Seq("conv_norm", "hot_keys", "matches", "clusters"))
+      Seq("conv_norm", "hot_keys", "matches", "clusters", "golden"))
+    // every clustered record is represented in exactly one golden row
+    assert(res.golden.agg(sum("n_members")).collect()(0).getLong(0) ==
+      res.clusters.count())
     val hotRows = res.stages.find(_.table == "hot_keys").get.rows
     assert(hotRows > 0, "expected hot keys at this salt threshold")
 

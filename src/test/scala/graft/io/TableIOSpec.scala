@@ -103,12 +103,12 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.latestSnapshotId(root, "t").contains(1L))
   }
 
-  test("pipeline: full run commits 3 stages; second run resumes all") {
+  test("pipeline: full run commits 4 stages; second run resumes all") {
     val root = tmpRoot()
     // default config doesn't salt, so no hot_keys statistic stage
-    // (PipelineSpec covers the salted 4-stage shape)
+    // (PipelineSpec covers the salted 5-stage shape)
     val first = Pipeline.run(spark, sf0001, root)
-    assert(first.stages.map(_.table) == Seq("conv_norm", "matches", "clusters"))
+    assert(first.stages.map(_.table) == Seq("conv_norm", "matches", "clusters", "golden"))
     assert(first.stages.forall(!_.resumed))
     assert(first.stages.forall(_.rows > 0))
     val second = Pipeline.run(spark, sf0001, root)
