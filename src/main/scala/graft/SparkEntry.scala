@@ -64,13 +64,12 @@ object SparkEntry {
       cfg, idCol = "conv_id", textCol = "text_norm")
   }
 
-  /** DuckDB mirror of [[matchJw]]. Shared arithmetic shape with
-    * Scores.combine so doubles agree bit-for-bit. */
-  private def matchJwOracle: String = withCtes {
+  /** CTE chain of the [[matchJw]] mirror ending in `ranked` — shared
+    * by the plain match oracle and the tool-sequence enrichment. */
+  private def matchJwChainCtes: String = {
     val bk = BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)
     val ds = graft.similarity.Scores.digitsScoreSqlDuck("l.text_norm", "r.text_norm")
-    s"""
-       |, sides AS (SELECT conv_id, variant, text_norm, $bk AS block_key FROM conv_norm)
+    s"""sides AS (SELECT conv_id, variant, text_norm, $bk AS block_key FROM conv_norm)
        |, scored AS (
        |  SELECT l.conv_id AS left_id, r.conv_id AS right_id,
        |         round((jaro_winkler_similarity(l.text_norm, r.text_norm) * 100.0 * 0.8::DOUBLE
@@ -83,7 +82,14 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY left_id
        |                               ORDER BY score DESC, right_id ASC) AS rn
        |  FROM scored WHERE score >= 60.0
-       |)
+       |)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[matchJw]]. Shared arithmetic shape with
+    * Scores.combine so doubles agree bit-for-bit. */
+  private def matchJwOracle: String = withCtes {
+    s"""
+       |, $matchJwChainCtes
        |SELECT left_id, right_id, score FROM ranked WHERE rn <= 3
        |""".stripMargin
   }
@@ -618,6 +624,13 @@ object SparkEntry {
         MatchConfig.reference.copy(scorer = "monge_elkan"),
         idCol = "conv_id", textCol = "text_norm")
     }),
+    // T4 tool-sequence enrichment: the matched pairs scored on a second
+    // field — canonical tool-call bigram Jaccard (ToolSequences
+    // scaladoc), NULL when either side has no sequence.
+    "m_match_toolsim" -> ((s, dir) =>
+      graft.transcripts.ToolSequences.jaccardEnrich(
+        matchJw(s, dir),
+        graft.transcripts.ToolSequences.bigramTokens(s, dir))),
     // J29 exact set-similarity join: prefix-filtered token-Jaccard
     // threshold join — provably no false negatives (SetSimJoin
     // scaladoc), the exact counterpart to the MinHash-LSH generator.
@@ -1113,6 +1126,14 @@ object SparkEntry {
     // oracle is the full-match SQL verbatim
     "m_match_lsh_incr" -> matchLshOracle,
     "m_match_me" -> matchMeOracle,
+    // T4: match chain + tool-bigram CTEs + the enrichment mirror.
+    "m_match_toolsim" -> withCtes(
+      s"""
+         |, $matchJwChainCtes
+         |, mp AS (SELECT left_id, right_id, score FROM ranked WHERE rn <= 3)
+         |, ${graft.transcripts.ToolSequences.bigramTokensCteDuck}
+         |${graft.transcripts.ToolSequences.jaccardEnrichSqlDuck(Seq("score"))}
+         |""".stripMargin),
     // J29: full mirror of the prefix-filtered exact Jaccard join
     // (SetSimJoin.jaccardJoinSqlDuck) over the transcript sides.
     "m_setsim_pf" -> withCtes(
