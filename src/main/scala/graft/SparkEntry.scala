@@ -641,6 +641,22 @@ object SparkEntry {
         conv.filter(col("variant") > 0),
         threshold = 0.5, idCol = "conv_id", textCol = "text_norm")
     }),
+    // J29 cosine / Dice variants: same prefix-filtering frame, each
+    // with its own provably-complete prefix factor (t² and t/(2−t)).
+    "m_setsim_cos" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      graft.blocking.SetSimJoin.simJoin(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        threshold = 0.6, sim = "cosine", idCol = "conv_id", textCol = "text_norm")
+    }),
+    "m_setsim_dice" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      graft.blocking.SetSimJoin.simJoin(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        threshold = 0.6, sim = "dice", idCol = "conv_id", textCol = "text_norm")
+    }),
     // COMPOSITE blocking (north-star phrase literal): block-key
     // candidates UNION band candidates, one ranking over both.
     "m_match_comp" -> ((s, dir) => {
@@ -852,6 +868,18 @@ object SparkEntry {
         keyCol = "user_id", ptCol = "ts", loCol = "win_lo", hiCol = "win_hi",
         binSeconds = 3600L)
     }),
+    // W5 stratified sampling: deterministic per-stratum top-N by hash
+    // rank — the training-data curation primitive (balanced samples per
+    // class/language/source). One window per stratum, no collect; at
+    // 100 TB the hash order makes the sample reproducible across runs
+    // and partitionings, unlike rand()-based sampleBy.
+    "w_stratified" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+            .orderBy(md5(col("event_id").cast("string")).asc, col("event_id").asc)))
+        .filter(col("rn") <= 20)
+        .select("event_type", "event_id")),
     // W3: deterministic sampling (hash-order + limit; seed-stable).
     "w_sample" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -1048,6 +1076,14 @@ object SparkEntry {
          |        FROM events WHERE event_type = 'error')
          |$rj""".stripMargin
     },
+    "w_stratified" -> """
+      |SELECT event_type, event_id FROM (
+      |  SELECT event_type, event_id,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY md5(CAST(event_id AS STRING)) ASC,
+      |                                     event_id ASC) AS rn
+      |  FROM events) WHERE rn <= 20
+      |""".stripMargin,
     "w_sample" ->
       "SELECT doc_id FROM documents ORDER BY md5(CAST(doc_id AS STRING)) LIMIT 100",
     "f_lowconf" -> """
@@ -1141,6 +1177,18 @@ object SparkEntry {
          |, ln AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant = 0)
          |, rn AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant > 0)
          |, ${graft.blocking.SetSimJoin.jaccardJoinSqlDuck(0.5)}
+         |""".stripMargin),
+    "m_setsim_cos" -> withCtes(
+      s"""
+         |, ln AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant = 0)
+         |, rn AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant > 0)
+         |, ${graft.blocking.SetSimJoin.simJoinSqlDuck(0.6, "cosine")}
+         |""".stripMargin),
+    "m_setsim_dice" -> withCtes(
+      s"""
+         |, ln AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant = 0)
+         |, rn AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant > 0)
+         |, ${graft.blocking.SetSimJoin.simJoinSqlDuck(0.6, "dice")}
          |""".stripMargin),
     "m_match_sn" -> matchSnOracle,
     "m_match_sn_mp" -> matchSnOracleWith(Seq("t", "reverse(t)")),

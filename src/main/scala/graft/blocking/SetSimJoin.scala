@@ -36,19 +36,49 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
-  /** Exact Jaccard-threshold join: every (`left` id, `right` id) pair
-    * whose distinct-whitespace-token Jaccard is ≥ `threshold`, with the
-    * score. Records with no tokens never match (J undefined → dropped,
-    * consistent with their empty membership).
-    *
-    * @return (left_id, right_id, jaccard)
+  /** The PPJoin-family per-side prefix factor `f`: similarity ≥ t
+    * forces overlap ≥ ⌈f·len⌉ on EACH side, so the prefix keeping the
+    * first `len − ⌈f·len⌉ + 1` rarest tokens cannot miss a qualifying
+    * pair. Derivations (inter ≤ min(la, lb) throughout):
+    * Jaccard  J = i/(la+lb−i) ≥ t ⇒ i ≥ t·union ≥ t·la            → f = t;
+    * cosine   C = i/√(la·lb) ≥ t ⇒ lb ≥ t²·la and i ≥ t²·la       → f = t²;
+    * Dice     D = 2i/(la+lb) ≥ t ⇒ i(2−t) ≥ t·la ⇒ i ≥ t·la/(2−t) → f = t/(2−t).
+    * The same f bounds partner lengths: f·la ≤ lb ≤ la/f (prune-only).
     */
+  private def prefixFactor(sim: String, t: Double): Double = sim match {
+    case "jaccard" => t
+    case "cosine"  => t * t
+    case "dice"    => t / (2.0 - t)
+    case other     => throw new IllegalArgumentException(s"unknown sim: $other")
+  }
+
+  /** Exact Jaccard-threshold join — see [[simJoin]]. */
   def jaccardJoin(
       left: DataFrame,
       right: DataFrame,
       threshold: Double,
       idCol: String = "id",
+      textCol: String = "text"): DataFrame =
+    simJoin(left, right, threshold, "jaccard", idCol, textCol)
+
+  /** Exact set-similarity threshold join: every (`left` id, `right`
+    * id) pair whose distinct-whitespace-token similarity is ≥
+    * `threshold`, with the score. `sim` picks the function — "jaccard",
+    * "cosine" (|∩|/√(|A||B|)) or "dice" (2|∩|/(|A|+|B|)) — each with
+    * its own provably-complete prefix bound ([[prefixFactor]]).
+    * Records with no tokens never match (similarity undefined →
+    * dropped, consistent with their empty membership).
+    *
+    * @return (left_id, right_id, score)
+    */
+  def simJoin(
+      left: DataFrame,
+      right: DataFrame,
+      threshold: Double,
+      sim: String = "jaccard",
+      idCol: String = "id",
       textCol: String = "text"): DataFrame = {
+    val f = prefixFactor(sim, threshold)
     val lm = MetaBlocking.membership(left, idCol, textCol)
     val rm = MetaBlocking.membership(right, idCol, textCol)
     // One global total order: document frequency ascending across BOTH
@@ -61,45 +91,56 @@ object SetSimJoin {
       m.join(dfq, Seq("tok"))
         .withColumn("pos", row_number().over(byRank))
         .withColumn("len", count(lit(1)).over(Window.partitionBy("id")))
-        // p = len − ceil(t·len) + 1 (per-side overlap bound α = ceil(t·len))
-        .filter(col("pos") <= col("len") - ceil(lit(threshold) * col("len")) + 1)
+        // p = len − ceil(f·len) + 1 (per-side overlap bound α = ceil(f·len))
+        .filter(col("pos") <= col("len") - ceil(lit(f) * col("len")) + 1)
         .select("id", "tok", "len")
     }
     val cand = prefix(lm)
       .select(col("id").as("left_id"), col("tok"), col("len").as("la"))
       .join(prefix(rm)
         .select(col("id").as("right_id"), col("tok"), col("len").as("lb")), Seq("tok"))
-      // length filter — prune-only (verification is exact either way):
-      // J ≥ t forces t·la ≤ overlap ≤ lb and lb ≤ la/t.
-      .filter(col("lb") >= ceil(lit(threshold) * col("la")) &&
-        col("lb").cast("double") <= col("la").cast("double") / lit(threshold))
+      // length filter — prune-only (verification is exact either way)
+      .filter(col("lb") >= ceil(lit(f) * col("la")) &&
+        col("lb").cast("double") <= col("la").cast("double") / lit(f))
       .select("left_id", "right_id", "la", "lb")
       .distinct()
-    // Verification: exact Jaccard against pre-collected token arrays —
-    // per-candidate cost, the corpus is never re-shuffled.
+    // Verification: exact similarity against pre-collected token
+    // arrays — per-candidate cost, the corpus is never re-shuffled.
     def sets(m: DataFrame, side: String) =
       m.groupBy(col("id").as(side + "_id"))
         .agg(sort_array(collect_list(col("tok"))).as(side + "_ts"))
-    val inter = size(array_intersect(col("l_ts"), col("r_ts")))
+    val inter = size(array_intersect(col("l_ts"), col("r_ts"))).cast("double")
+    val score = sim match {
+      case "jaccard" => inter / (col("la") + col("lb") - inter).cast("double")
+      case "cosine"  => inter / sqrt(col("la").cast("double") * col("lb").cast("double"))
+      case _         => lit(2.0) * inter / (col("la") + col("lb")).cast("double")
+    }
     cand
       .join(sets(lm, "l").withColumnRenamed("l_id", "left_id"), Seq("left_id"))
       .join(sets(rm, "r").withColumnRenamed("r_id", "right_id"), Seq("right_id"))
-      .select(col("left_id"), col("right_id"),
-        (inter.cast("double") /
-          (col("la") + col("lb") - inter).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= lit(threshold))
+      .select(col("left_id"), col("right_id"), score.as("score"))
+      .filter(col("score") >= lit(threshold))
   }
 
   // -------------------------------------------------------------------
   // DuckDB mirror
   // -------------------------------------------------------------------
 
-  /** Full mirror of [[jaccardJoin]] from normalized sides `ln(id, t)` /
-    * `rn(id, t)`: CTE chain + final SELECT (left_id, right_id, jaccard).
-    * Same arithmetic shape — exact-integer counts, one double quotient —
-    * so results hash bit-for-bit. */
-  def jaccardJoinSqlDuck(threshold: Double): String = {
+  /** Full mirror of [[simJoin]] from normalized sides `ln(id, t)` /
+    * `rn(id, t)`: CTE chain + final SELECT (left_id, right_id, score).
+    * Same arithmetic shape — exact-integer counts, the one double
+    * division/sqrt last — so results hash bit-for-bit. The prefix
+    * factor is computed HERE (same IEEE double as the Spark side) and
+    * inlined via its shortest-roundtrip literal. */
+  def simJoinSqlDuck(threshold: Double, sim: String = "jaccard"): String = {
     val t = s"CAST($threshold AS DOUBLE)"
+    val f = s"CAST(${prefixFactor(sim, threshold)} AS DOUBLE)"
+    val inter = "len(list_intersect(a.ts, b.ts))"
+    val scoreSql = sim match {
+      case "jaccard" => s"CAST($inter AS DOUBLE) / CAST(c.la + c.lb - $inter AS DOUBLE)"
+      case "cosine"  => s"CAST($inter AS DOUBLE) / sqrt(CAST(c.la AS DOUBLE) * CAST(c.lb AS DOUBLE))"
+      case _         => s"CAST(2.0 AS DOUBLE) * CAST($inter AS DOUBLE) / CAST(c.la + c.lb AS DOUBLE)"
+    }
     s"""ssl AS (SELECT DISTINCT id, tok FROM
        |  (SELECT id, unnest(string_split(t, ' ')) AS tok FROM ln) WHERE tok <> ''),
        |ssr AS (SELECT DISTINCT id, tok FROM
@@ -111,27 +152,29 @@ object SetSimJoin {
        |          row_number() OVER (PARTITION BY m.id ORDER BY d.cnt ASC, m.tok ASC) AS pos,
        |          count(*) OVER (PARTITION BY m.id) AS len
        |   FROM ssl m JOIN ssdf d ON m.tok = d.tok)
-       |  WHERE pos <= len - CAST(ceil($t * len) AS BIGINT) + 1),
+       |  WHERE pos <= len - CAST(ceil($f * len) AS BIGINT) + 1),
        |ssrp AS (SELECT id, tok, len FROM
        |  (SELECT m.id, m.tok,
        |          row_number() OVER (PARTITION BY m.id ORDER BY d.cnt ASC, m.tok ASC) AS pos,
        |          count(*) OVER (PARTITION BY m.id) AS len
        |   FROM ssr m JOIN ssdf d ON m.tok = d.tok)
-       |  WHERE pos <= len - CAST(ceil($t * len) AS BIGINT) + 1),
+       |  WHERE pos <= len - CAST(ceil($f * len) AS BIGINT) + 1),
        |sscand AS (SELECT DISTINCT l.id AS left_id, r.id AS right_id,
        |                 l.len AS la, r.len AS lb
        |  FROM sslp l JOIN ssrp r ON l.tok = r.tok
-       |  WHERE r.len >= CAST(ceil($t * l.len) AS BIGINT)
-       |    AND CAST(r.len AS DOUBLE) <= CAST(l.len AS DOUBLE) / $t),
+       |  WHERE r.len >= CAST(ceil($f * l.len) AS BIGINT)
+       |    AND CAST(r.len AS DOUBLE) <= CAST(l.len AS DOUBLE) / $f),
        |sslset AS (SELECT id, list_sort(list(tok)) AS ts FROM ssl GROUP BY id),
        |ssrset AS (SELECT id, list_sort(list(tok)) AS ts FROM ssr GROUP BY id)
-       |SELECT left_id, right_id, jaccard FROM (
-       |  SELECT c.left_id, c.right_id,
-       |         CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
-       |         CAST(c.la + c.lb - len(list_intersect(a.ts, b.ts)) AS DOUBLE) AS jaccard
+       |SELECT left_id, right_id, score FROM (
+       |  SELECT c.left_id, c.right_id, $scoreSql AS score
        |  FROM sscand c
        |  JOIN sslset a ON c.left_id = a.id
        |  JOIN ssrset b ON c.right_id = b.id)
-       |WHERE jaccard >= $t""".stripMargin
+       |WHERE score >= $t""".stripMargin
   }
+
+  /** Jaccard mirror — kept for the m_setsim_pf oracle wiring. */
+  def jaccardJoinSqlDuck(threshold: Double): String =
+    simJoinSqlDuck(threshold, "jaccard")
 }

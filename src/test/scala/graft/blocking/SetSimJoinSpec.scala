@@ -9,19 +9,27 @@ import org.apache.spark.sql.functions._
   * end to end), pruning reality, determinism, and plan shape. */
 class SetSimJoinSpec extends SparkSpec {
 
-  /** Brute-force oracle: every cross pair with exact token-set Jaccard
-    * ≥ t — same tokenization (distinct non-empty whitespace tokens). */
-  private def brute(left: DataFrame, right: DataFrame, t: Double): DataFrame = {
+  /** Brute-force oracle: every cross pair with exact token-set
+    * similarity ≥ t — same tokenization (distinct non-empty whitespace
+    * tokens), any of the three supported functions. */
+  private def brute(left: DataFrame, right: DataFrame, t: Double,
+      sim: String = "jaccard"): DataFrame = {
     def sets(df: DataFrame, side: String) =
       MetaBlocking.membership(df, "id", "text")
         .groupBy(col("id").as(s"${side}_id"))
         .agg(collect_set(col("tok")).as(s"${side.head}_ts"))
-    val inter = size(array_intersect(col("l_ts"), col("r_ts")))
-    val union = size(col("l_ts")) + size(col("r_ts")) - inter
+    val interI = size(array_intersect(col("l_ts"), col("r_ts")))
+    val inter = interI.cast("double")
+    val la = size(col("l_ts"))
+    val lb = size(col("r_ts"))
+    val score = sim match {
+      case "jaccard" => inter / (la + lb - interI).cast("double")
+      case "cosine"  => inter / sqrt(la.cast("double") * lb.cast("double"))
+      case _         => lit(2.0) * inter / (la + lb).cast("double")
+    }
     sets(left, "left").crossJoin(sets(right, "right"))
-      .select(col("left_id"), col("right_id"),
-        (inter.cast("double") / union.cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= lit(t))
+      .select(col("left_id"), col("right_id"), score.as("score"))
+      .filter(col("score") >= lit(t))
   }
 
   private def df(rows: (String, String)*): DataFrame = {
@@ -104,6 +112,30 @@ class SetSimJoinSpec extends SparkSpec {
     assert(kept < full, s"prefix kept all $full membership rows")
     info(s"prefix kept $kept of $full membership rows")
     out.unpersist(); conv.unpersist()
+  }
+
+  test("cosine and dice variants equal brute force (own prefix bounds)") {
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("ank", "ist", "izm", "cad", "sok", "no", "12", "5",
+      "mah", "kat", "blok", "d")
+    def rec(n: Int, p: String) = (0 until n).map { i =>
+      val k = 1 + rnd.nextInt(7)
+      (s"$p$i", Seq.fill(k)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val l = df(rec(50, "l"): _*)
+    val r = df(rec(70, "r"): _*)
+    for (sim <- Seq("cosine", "dice"); t <- Seq(0.45, 0.7)) {
+      val got = SetSimJoin.simJoin(l, r, t, sim).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+      val want = brute(l, r, t, sim).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+      assert((want -- got).isEmpty, s"$sim t=$t FALSE NEGATIVES: ${want -- got}")
+      assert(got == want, s"$sim t=$t: extras ${got -- want}")
+    }
+    // hand value: {a,b,c,d} vs {a,b,c,e}: cosine 3/4, dice 3/4
+    val lx = df("x" -> "a b c d"); val rx = df("y" -> "a b c e")
+    assert(SetSimJoin.simJoin(lx, rx, 0.5, "cosine").collect()(0).getDouble(2) == 0.75)
+    assert(SetSimJoin.simJoin(lx, rx, 0.5, "dice").collect()(0).getDouble(2) == 0.75)
   }
 
   test("partitioning-independent") {
