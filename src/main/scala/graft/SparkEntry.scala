@@ -841,6 +841,24 @@ object SparkEntry {
       graft.sessions.Sessionize.sessionStats(
         graft.sessions.Sessionize.assignSessions(
           s.read.parquet(s"$dir/events.parquet"), gapSeconds = 43200L))),
+    // T1 incremental: a deterministic even/odd split of the events
+    // stream, the even half committed as a prior assignment, the odd
+    // half (plus a replayed slice of the old half — at-least-once)
+    // folded in. Provably equal to the full sessionization, so the
+    // oracle is s_sessions' SQL VERBATIM — the strongest check an
+    // incremental path can get.
+    "s_sessions_incr" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select("user_id", "event_id", "ts")
+      val isOld = col("event_id") % 2 === 0
+      val prior = graft.sessions.Sessionize.assignSessions(
+        ev.filter(isOld), gapSeconds = 43200L)
+      val increment = ev.filter(!isOld)
+        .unionAll(ev.filter(isOld && col("event_id") % 10 === 0)) // replay
+      graft.sessions.Sessionize.assignSessionsIncremental(
+        prior, increment, gapSeconds = 43200L)
+        .select("user_id", "event_id", "ts", "session_idx")
+    }),
     // T2 as-of join: for every event, the latest prior (ts-inclusive)
     // error event of the same user — sort-merge window formulation,
     // one shuffle, zero join fan-out (AsOfJoin scaladoc).
@@ -1051,6 +1069,10 @@ object SparkEntry {
       graft.sessions.Sessionize.assignSessionsSqlDuck("events", gapSeconds = 43200L),
     "s_session_stats" ->
       graft.sessions.Sessionize.sessionStatsSqlDuck("events", gapSeconds = 43200L),
+    // T1 incremental: = the full-sessionization SQL verbatim (the
+    // incremental fold is provably identical to the full recompute).
+    "s_sessions_incr" ->
+      graft.sessions.Sessionize.assignSessionsSqlDuck("events", gapSeconds = 43200L),
     // T2: independent-implementation oracle — DuckDB's native ASOF
     // LEFT JOIN over the same sides, ties pre-deduped to the row the
     // Spark window picks.

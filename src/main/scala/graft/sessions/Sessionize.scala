@@ -49,6 +49,34 @@ object Sessionize {
     df.withColumn("session_idx", sum(boundary).over(run).cast("int"))
   }
 
+  /** Incremental sessionization over a committed assignment: fold a
+    * batch of new events into `oldAssigned` (a prior [[assignSessions]]
+    * output) by recomputing ONLY the keys the batch touches — session
+    * numbering is a per-key prefix property, so untouched keys pass
+    * through verbatim and the result provably equals running
+    * [[assignSessions]] over old ∪ new from scratch. Cost is
+    * increment-shaped: one anti-join + a window over the touched keys'
+    * events, nothing over the rest of the corpus. At-least-once
+    * tolerant: replayed events (same key + tie) dedup before the
+    * window, so re-delivering a batch cannot split a session.
+    */
+  def assignSessionsIncremental(
+      oldAssigned: DataFrame,
+      newEvents: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      gapSeconds: Long = 1800L): DataFrame = {
+    val touched = newEvents.select(col(keyCol)).distinct()
+    val untouched = oldAssigned.join(touched, Seq(keyCol), "left_anti")
+    val replay = oldAssigned.drop("session_idx")
+      .unionByName(newEvents)
+      .join(touched, Seq(keyCol), "left_semi")
+      .dropDuplicates(keyCol, tieCol)
+    untouched.unionByName(
+      assignSessions(replay, keyCol, tsCol, tieCol, gapSeconds))
+  }
+
   /** Per-session summary over [[assignSessions]] output: event count,
     * start/end timestamps and exact `duration_us` (BIGINT microseconds —
     * integer, so no float-division hashing hazards). One map-side

@@ -50,6 +50,33 @@ class SessionizeSpec extends SparkSpec {
     assert(r.getLong(2) == 2L && r.getLong(5) == 630L * 1000000L)
   }
 
+  test("incremental fold equals full recompute, tolerates replay, skips untouched keys") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("user_id", "event_id", "ts")
+    val isOld = col("event_id") % 2 === 0
+    val prior = Sessionize.assignSessions(ev.filter(isOld), gapSeconds = 43200L)
+    val increment = ev.filter(!isOld)
+      .unionAll(ev.filter(isOld && col("event_id") % 10 === 0)) // replayed slice
+    val got = Sessionize.assignSessionsIncremental(prior, increment,
+      gapSeconds = 43200L).select("event_id", "session_idx")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = Sessionize.assignSessions(ev, gapSeconds = 43200L)
+      .select("event_id", "session_idx")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want)
+    // untouched keys pass through the prior assignment verbatim: an
+    // increment touching ONE key changes nothing anywhere else
+    val oneKey = ev.filter(!isOld).limit(1)
+    val k = oneKey.collect()(0).getLong(0)
+    val folded = Sessionize.assignSessionsIncremental(prior, oneKey,
+      gapSeconds = 43200L)
+    val othersBefore = prior.filter(col("user_id") =!= k)
+      .collect().map(_.toString).toSet
+    val othersAfter = folded.filter(col("user_id") =!= k)
+      .collect().map(_.toString).toSet
+    assert(othersBefore == othersAfter)
+  }
+
   test("partitioning-independent on the events fixture, and it really splits") {
     val ev = spark.read.parquet(s"$sf0001/events.parquet")
     val a = Sessionize.assignSessions(ev, gapSeconds = 43200L)
