@@ -77,33 +77,11 @@ object SetSimJoin {
       threshold: Double,
       sim: String = "jaccard",
       idCol: String = "id",
-      textCol: String = "text"): DataFrame = {
-    val f = prefixFactor(sim, threshold)
+      textCol: String = "text",
+      positional: Boolean = true): DataFrame = {
+    val cand = candidates(left, right, threshold, sim, idCol, textCol, positional)
     val lm = MetaBlocking.membership(left, idCol, textCol)
     val rm = MetaBlocking.membership(right, idCol, textCol)
-    // One global total order: document frequency ascending across BOTH
-    // sides, token ASC tie-break. Any total order is correct; rare-first
-    // minimizes candidates AND keys the join on cold tokens.
-    val dfq = lm.select("tok").unionAll(rm.select("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    def prefix(m: DataFrame): DataFrame = {
-      val byRank = Window.partitionBy("id").orderBy(col("cnt").asc, col("tok").asc)
-      m.join(dfq, Seq("tok"))
-        .withColumn("pos", row_number().over(byRank))
-        .withColumn("len", count(lit(1)).over(Window.partitionBy("id")))
-        // p = len − ceil(f·len) + 1 (per-side overlap bound α = ceil(f·len))
-        .filter(col("pos") <= col("len") - ceil(lit(f) * col("len")) + 1)
-        .select("id", "tok", "len")
-    }
-    val cand = prefix(lm)
-      .select(col("id").as("left_id"), col("tok"), col("len").as("la"))
-      .join(prefix(rm)
-        .select(col("id").as("right_id"), col("tok"), col("len").as("lb")), Seq("tok"))
-      // length filter — prune-only (verification is exact either way)
-      .filter(col("lb") >= ceil(lit(f) * col("la")) &&
-        col("lb").cast("double") <= col("la").cast("double") / lit(f))
-      .select("left_id", "right_id", "la", "lb")
-      .distinct()
     // Verification: exact similarity against pre-collected token
     // arrays — per-candidate cost, the corpus is never re-shuffled.
     def sets(m: DataFrame, side: String) =
@@ -120,6 +98,89 @@ object SetSimJoin {
       .join(sets(rm, "r").withColumnRenamed("r_id", "right_id"), Seq("right_id"))
       .select(col("left_id"), col("right_id"), score.as("score"))
       .filter(col("score") >= lit(threshold))
+  }
+
+  /** Bound arithmetic epsilon: every pruning bound compares an integer
+    * against a double product, and an upward double rounding on an
+    * exact-integer boundary (e.g. f·len landing on ⌈·⌉'s edge) would
+    * over-prune — a FALSE NEGATIVE, not a performance loss. All bounds
+    * therefore give the double side 1e-9 slack: relative double error
+    * here is ~1e-16·len, so the slack can only ever keep a candidate,
+    * never drop one. */
+  private val Eps = 1e-9
+
+  /** The candidate-pair stage of [[simJoin]] — exposed package-private
+    * so specs can measure pruning. Output: (left_id, right_id, la, lb),
+    * a superset of all qualifying pairs (never a false negative).
+    *
+    * `positional` adds the PPJoin positional filter (Xiao, Wang, Lin &
+    * Yu, "Efficient Similarity Joins for Near Duplicate Detection",
+    * WWW 2008): for a candidate pair let w₀ be its first shared prefix
+    * token in the global order. No common token precedes w₀ (such a
+    * token would itself be a shared prefix token — both positions are
+    * smaller), so overlap ≤ min(la − pa₀, lb − pb₀) + 1; prune when
+    * that upper bound is below the pair's required overlap
+    * (jaccard: t(la+lb)/(1+t); cosine: t√(la·lb); dice: t(la+lb)/2).
+    * Because both sides rank tokens by the SAME total order, the
+    * min-position token per side is the same w₀ — so `min(pa)` /
+    * `min(pb)` within the pair group both locate it, and the dedup
+    * `distinct()` becomes a same-shuffle groupBy. Pruning-only: the
+    * verified output is identical with the flag on or off.
+    */
+  private[blocking] def candidates(
+      left: DataFrame,
+      right: DataFrame,
+      threshold: Double,
+      sim: String,
+      idCol: String,
+      textCol: String,
+      positional: Boolean): DataFrame = {
+    val f = prefixFactor(sim, threshold)
+    val lm = MetaBlocking.membership(left, idCol, textCol)
+    val rm = MetaBlocking.membership(right, idCol, textCol)
+    // One global total order: document frequency ascending across BOTH
+    // sides, token ASC tie-break. Any total order is correct; rare-first
+    // minimizes candidates AND keys the join on cold tokens.
+    val dfq = lm.select("tok").unionAll(rm.select("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    def prefix(m: DataFrame): DataFrame = {
+      val byRank = Window.partitionBy("id").orderBy(col("cnt").asc, col("tok").asc)
+      m.join(dfq, Seq("tok"))
+        .withColumn("pos", row_number().over(byRank))
+        .withColumn("len", count(lit(1)).over(Window.partitionBy("id")))
+        // p = len − ⌈f·len⌉ + 1 (per-side overlap bound α = ⌈f·len⌉);
+        // integer-vs-double form with Eps slack (see Eps)
+        .filter(col("pos").cast("double") <=
+          col("len").cast("double") - (lit(f) * col("len") - lit(Eps)) + 1.0)
+        .select("id", "tok", "pos", "len")
+    }
+    val joined = prefix(lm)
+      .select(col("id").as("left_id"), col("tok"),
+        col("pos").as("pa"), col("len").as("la"))
+      .join(prefix(rm)
+        .select(col("id").as("right_id"), col("tok"),
+          col("pos").as("pb"), col("len").as("lb")), Seq("tok"))
+      // length filter — prune-only (verification is exact either way)
+      .filter(col("lb").cast("double") >= lit(f) * col("la") - lit(Eps) &&
+        col("lb").cast("double") <= col("la").cast("double") / lit(f) + lit(Eps))
+    if (!positional)
+      joined.select("left_id", "right_id", "la", "lb").distinct()
+    else {
+      val alpha = sim match {
+        case "jaccard" =>
+          lit(threshold) / (lit(1.0) + lit(threshold)) * (col("la") + col("lb")).cast("double")
+        case "cosine" =>
+          lit(threshold) * sqrt(col("la").cast("double") * col("lb").cast("double"))
+        case _ =>
+          lit(threshold) * (col("la") + col("lb")).cast("double") / lit(2.0)
+      }
+      joined.groupBy(col("left_id"), col("right_id"), col("la"), col("lb"))
+        .agg(min(col("pa")).as("pa0"), min(col("pb")).as("pb0"))
+        .filter(
+          (least(col("la") - col("pa0"), col("lb") - col("pb0")) + 1).cast("double")
+            >= alpha - lit(Eps))
+        .select("left_id", "right_id", "la", "lb")
+    }
   }
 
   // -------------------------------------------------------------------
@@ -152,18 +213,18 @@ object SetSimJoin {
        |          row_number() OVER (PARTITION BY m.id ORDER BY d.cnt ASC, m.tok ASC) AS pos,
        |          count(*) OVER (PARTITION BY m.id) AS len
        |   FROM ssl m JOIN ssdf d ON m.tok = d.tok)
-       |  WHERE pos <= len - CAST(ceil($f * len) AS BIGINT) + 1),
+       |  WHERE CAST(pos AS DOUBLE) <= CAST(len AS DOUBLE) - ($f * len - 1e-9) + 1.0),
        |ssrp AS (SELECT id, tok, len FROM
        |  (SELECT m.id, m.tok,
        |          row_number() OVER (PARTITION BY m.id ORDER BY d.cnt ASC, m.tok ASC) AS pos,
        |          count(*) OVER (PARTITION BY m.id) AS len
        |   FROM ssr m JOIN ssdf d ON m.tok = d.tok)
-       |  WHERE pos <= len - CAST(ceil($f * len) AS BIGINT) + 1),
+       |  WHERE CAST(pos AS DOUBLE) <= CAST(len AS DOUBLE) - ($f * len - 1e-9) + 1.0),
        |sscand AS (SELECT DISTINCT l.id AS left_id, r.id AS right_id,
        |                 l.len AS la, r.len AS lb
        |  FROM sslp l JOIN ssrp r ON l.tok = r.tok
-       |  WHERE r.len >= CAST(ceil($f * l.len) AS BIGINT)
-       |    AND CAST(r.len AS DOUBLE) <= CAST(l.len AS DOUBLE) / $f),
+       |  WHERE CAST(r.len AS DOUBLE) >= $f * l.len - 1e-9
+       |    AND CAST(r.len AS DOUBLE) <= CAST(l.len AS DOUBLE) / $f + 1e-9),
        |sslset AS (SELECT id, list_sort(list(tok)) AS ts FROM ssl GROUP BY id),
        |ssrset AS (SELECT id, list_sort(list(tok)) AS ts FROM ssr GROUP BY id)
        |SELECT left_id, right_id, score FROM (

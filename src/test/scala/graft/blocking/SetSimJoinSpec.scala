@@ -94,24 +94,38 @@ class SetSimJoinSpec extends SparkSpec {
     val physical = out.queryExecution.executedPlan.toString
     assert(!physical.contains("CartesianProduct"),
       "set-sim join must not plan a cartesian product")
-    // rare-first prefixes keep candidate keys cold: every record's
-    // prefix is strictly shorter than its token set once len > 1/(1-t)
-    val lm = MetaBlocking.membership(l, "id", "text")
-    val full = lm.count()
-    val kept = lm.join(
-      lm.select("tok").unionAll(
-        MetaBlocking.membership(r, "id", "text").select("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt")), Seq("tok"))
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id")
-          .orderBy(col("cnt").asc, col("tok").asc)))
-      .withColumn("len", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id")))
-      .filter(col("pos") <= col("len") - ceil(lit(0.5) * col("len")) + 1)
-      .count()
-    assert(kept < full, s"prefix kept all $full membership rows")
-    info(s"prefix kept $kept of $full membership rows")
+    // the positional filter really prunes candidates, and candidates
+    // are far fewer than the |L|×|R| cross space
+    val withPos = SetSimJoin.candidates(l, r, 0.5, "jaccard",
+      "id", "text", positional = true).count()
+    val withoutPos = SetSimJoin.candidates(l, r, 0.5, "jaccard",
+      "id", "text", positional = false).count()
+    assert(withPos <= withoutPos)
+    assert(withoutPos < l.count() * r.count(),
+      "prefix filtering left the cross space unpruned")
+    info(s"candidates: $withPos positional vs $withoutPos prefix-only " +
+      s"(cross space ${l.count() * r.count()})")
     out.unpersist(); conv.unpersist()
+  }
+
+  test("positional filter is pruning-only: outputs identical on or off") {
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("ank", "ist", "izm", "cad", "sok", "no", "12", "5")
+    def rec(n: Int, p: String) = (0 until n).map { i =>
+      (s"$p$i", Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val l = df(rec(60, "l"): _*)
+    val r = df(rec(80, "r"): _*)
+    for (sim <- Seq("jaccard", "cosine", "dice"); t <- Seq(0.4, 0.7)) {
+      val on = SetSimJoin.simJoin(l, r, t, sim, positional = true).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+      val off = SetSimJoin.simJoin(l, r, t, sim, positional = false).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+      assert(on == off, s"$sim t=$t: positional changed the result")
+      assert(on == brute(l, r, t, sim).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet,
+        s"$sim t=$t: differs from brute force")
+    }
   }
 
   test("cosine and dice variants equal brute force (own prefix bounds)") {
