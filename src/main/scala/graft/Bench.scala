@@ -346,7 +346,24 @@ object Bench {
     "clusters_cc" -> (() => addrMatchSalted(s, dir,
       m => ConnectedComponents.run(m, "left_id", "right_id").count())),
     "minhash_dedup" -> (() => ExtraQueries.queries("d_minhash_pairs")(s, dir).count()),
-    "ann_brute" -> (() => ExtraQueries.queries("v_ann_brute")(s, dir).count()))
+    "ann_brute" -> (() => ExtraQueries.queries("v_ann_brute")(s, dir).count()),
+    // round-4 temporal operators over the events stream — linear-cost
+    // window formulations, so they add ~1-2s to the suite while putting
+    // their throughput on the driver record
+    "asof_events" -> (() => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.temporal.AsOfJoin.nearestPrior(
+        ev.select("user_id", "event_id", "ts"),
+        ev.filter(org.apache.spark.sql.functions.col("event_type") === "error")
+          .select(org.apache.spark.sql.functions.col("user_id"),
+            org.apache.spark.sql.functions.col("ts").as("err_ts"),
+            org.apache.spark.sql.functions.col("event_id").as("err_event_id")),
+        "user_id", "ts", "err_ts", "err_event_id").count()
+    }),
+    "sessionize_events" -> (() =>
+      graft.sessions.Sessionize.sessionStats(
+        graft.sessions.Sessionize.assignSessions(
+          s.read.parquet(s"$dir/events.parquet"), gapSeconds = 43200L)).count()))
 
   /** Untimed warmup before the suite: a small end-to-end match over the
     * same code paths (parquet scan, turn assembly, normalize codegen,
