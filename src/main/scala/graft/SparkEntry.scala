@@ -750,6 +750,16 @@ object SparkEntry {
         r.filter(isOld), r.filter(not(isOld)),
         prior, addrCfg, idCol = "id", textCol = "address_norm", hasGeo = true)
     }),
+    // J30 exact edit-distance threshold join (q-gram prefix filtering,
+    // Ed-Join style): every pair within levenshtein 3, left side
+    // subsetted (custkey % 5) to bound the brute-force oracle's cost.
+    "a_edjoin" -> ((s, dir) => {
+      val keep = expr("try_cast(id AS BIGINT) % 5 = 0")
+      graft.blocking.EdJoin.edJoin(
+        addrNorm(AddressFixture.left(s, dir)).filter(keep),
+        addrNorm(AddressFixture.rightAll(s, dir)),
+        k = 3, q = 2, idCol = "id", textCol = "address_norm")
+    }),
     // Transitive clustering — large-star/small-star connected components.
     "a_clusters" -> ((s, dir) => addrClusters(s, dir)),
     // Star clustering: single-pass hub assignment over the same
@@ -978,6 +988,17 @@ object SparkEntry {
          |  SELECT id, min(r) AS component FROM reach GROUP BY id
          |)
          |""".stripMargin),
+    // J30: independent-formulation oracle — brute length-banded
+    // levenshtein join, no q-grams (left subset bounds its cost).
+    "a_edjoin" -> withAddrCtes {
+      val normL = Normalizer.normalizeAddressSqlDuck("address")
+      s"""
+         |, ln AS (SELECT id, $normL AS t FROM addr_left
+         |         WHERE CAST(id AS BIGINT) % 5 = 0)
+         |, rn AS (SELECT id, $normL AS t FROM addr_right)
+         |${graft.blocking.EdJoin.edJoinSqlDuck(3)}
+         |""".stripMargin
+    },
     "a_clusters" -> withAddrCtes(s"\n, $addrCcCtes\nSELECT id, component FROM cc\n"),
     // Window-function mirror of the one-hop hub assignment: symmetrized
     // distinct edges -> degree -> argmax (deg DESC, nb ASC) over
