@@ -657,6 +657,25 @@ object SparkEntry {
         conv.filter(col("variant") > 0),
         threshold = 0.6, sim = "dice", idCol = "conv_id", textCol = "text_norm")
     }),
+    // J31 weighted-cosine set-sim join: idf-weighted tokens on an
+    // exact-integer grid, norm-based prefix bound (AllPairs) — rare
+    // tokens dominate, filler tokens can't sink a true match.
+    "m_setsim_wcos" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      graft.blocking.SetSimJoin.weightedCosineJoin(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        threshold = 0.7, idCol = "conv_id", textCol = "text_norm")
+    }),
+    // J32 containment join: |A∩B|/|A| ≥ t — asymmetric by design
+    // (right side may be arbitrarily longer), left-prefix-only pruning.
+    "m_setsim_contain" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      graft.blocking.SetSimJoin.containJoin(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        threshold = 0.75, idCol = "conv_id", textCol = "text_norm")
+    }),
     // COMPOSITE blocking (north-star phrase literal): block-key
     // candidates UNION band candidates, one ranking over both.
     "m_match_comp" -> ((s, dir) => {
@@ -1232,6 +1251,18 @@ object SparkEntry {
          |, ln AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant = 0)
          |, rn AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant > 0)
          |, ${graft.blocking.SetSimJoin.simJoinSqlDuck(0.6, "dice")}
+         |""".stripMargin),
+    "m_setsim_wcos" -> withCtes(
+      s"""
+         |, ln AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant = 0)
+         |, rn AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant > 0)
+         |, ${graft.blocking.SetSimJoin.weightedCosineJoinSqlDuck(0.7)}
+         |""".stripMargin),
+    "m_setsim_contain" -> withCtes(
+      s"""
+         |, ln AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant = 0)
+         |, rn AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant > 0)
+         |, ${graft.blocking.SetSimJoin.containJoinSqlDuck(0.75)}
          |""".stripMargin),
     "m_match_sn" -> matchSnOracle,
     "m_match_sn_mp" -> matchSnOracleWith(Seq("t", "reverse(t)")),

@@ -183,6 +183,141 @@ object SetSimJoin {
     }
   }
 
+  /** Exact WEIGHTED-cosine threshold join (J31) — the AllPairs upgrade
+    * of [[simJoin]]'s unweighted cosine (Bayardo, Ma & Srikant, WWW
+    * 2007 §3: prefix filtering over weighted vectors): every cross-side
+    * pair whose inverse-document-frequency-weighted token cosine is ≥
+    * `threshold`. Rare tokens dominate the score, so two transcripts
+    * sharing "xk17_tool_trace" match even when one padded itself with
+    * ubiquitous filler tokens that would sink the unweighted Jaccard.
+    *
+    * Weighting: `w(tok) = max(1, scale div df(tok))` — the harmonic
+    * (1/df) idf family on an exact-integer grid. Deliberately NOT
+    * log-idf: every weight, norm and dot product stays a BIGINT (w ≤
+    * scale=10⁶ ⇒ w² ≤ 10¹², record sums ≪ 2⁶³), so scores are single
+    * final-double divisions of exact integers — bit-identical across
+    * engines and partitionings, which is what makes the operator
+    * DuckDB-hashable. A log-idf drop-in would differ only in the `ww`
+    * weight table (and give up cross-engine bit-exactness to libm).
+    *
+    * Prefix bound (norm-based, not count-based): order each record's
+    * tokens by ONE global total order (weight DESC = rarest first, tok
+    * ASC ties) and keep position `pos` iff the tail ℓ₂² from `pos` on,
+    * `revcum(pos) = Σ_{i≥pos} w_i²`, is ≥ t²·‖x‖². Completeness: let w₀
+    * be a qualifying pair's first shared token in the global order. If
+    * w₀ is outside a's prefix, ALL shared tokens sit in a's tail, so by
+    * Cauchy-Schwarz dot ≤ √revcum_a(pos_a(w₀))·‖b‖ < t·‖a‖·‖b‖ —
+    * contradiction; symmetrically for b. So w₀ lands in BOTH prefixes
+    * and the prefix-prefix equi-join has no false negatives. The bound
+    * is epsilon-guarded ([[Eps]]) like every integer-vs-double compare
+    * here. Scale shape: prefixes hold the HIGHEST-weight = rarest
+    * tokens, so join keys are cold by construction (the same property
+    * df-ascending gives [[simJoin]]); verification joins candidates
+    * back to the weighted membership — per-candidate cost, no all-pairs
+    * stage, two map-side-combined aggregations.
+    *
+    * @return (left_id, right_id, score) with score = dot/√(‖a‖²‖b‖²)
+    */
+  def weightedCosineJoin(
+      left: DataFrame,
+      right: DataFrame,
+      threshold: Double,
+      idCol: String = "id",
+      textCol: String = "text",
+      weightScale: Long = 1000000L): DataFrame = {
+    val lm = MetaBlocking.membership(left, idCol, textCol)
+    val rm = MetaBlocking.membership(right, idCol, textCol)
+    val ww = lm.select("tok").unionAll(rm.select("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(col("tok"),
+        greatest(lit(1L), expr(s"CAST($weightScale AS BIGINT) div cnt")).as("w"))
+    val wl = lm.join(ww, Seq("tok"))
+    val wr = rm.join(ww, Seq("tok"))
+    val t2 = threshold * threshold // one Scala double, inlined in the mirror too
+    def prefix(m: DataFrame): DataFrame = {
+      val byRank = Window.partitionBy("id").orderBy(col("w").desc, col("tok").asc)
+      m.withColumn("revcum", sum(col("w") * col("w")).over(
+          byRank.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .withColumn("nsq", sum(col("w") * col("w")).over(Window.partitionBy("id")))
+        .filter(col("revcum").cast("double") >=
+          lit(t2) * col("nsq").cast("double") - lit(Eps))
+        .select("id", "tok")
+    }
+    val cand = prefix(wl).select(col("id").as("left_id"), col("tok"))
+      .join(prefix(wr).select(col("id").as("right_id"), col("tok")), Seq("tok"))
+      .select("left_id", "right_id").distinct()
+    def norms(m: DataFrame, out: String) =
+      m.groupBy(col("id").as(out))
+        .agg(sum(col("w") * col("w")).cast("long").as(out + "_nsq"))
+    cand
+      .join(wl.select(col("id").as("left_id"), col("tok"), col("w").as("wl")),
+        Seq("left_id"))
+      .join(wr.select(col("id").as("right_id"), col("tok"), col("w").as("wr")),
+        Seq("right_id", "tok"))
+      .groupBy("left_id", "right_id")
+      .agg(sum(col("wl") * col("wr")).cast("long").as("dot"))
+      .join(norms(wl, "left_id"), Seq("left_id"))
+      .join(norms(wr, "right_id"), Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        (col("dot").cast("double") / sqrt(
+          col("left_id_nsq").cast("double") * col("right_id_nsq").cast("double")))
+          .as("score"))
+      .filter(col("score") >= lit(threshold))
+  }
+
+  /** Exact CONTAINMENT threshold join (J32): every cross-side pair
+    * where at least `threshold` of the LEFT record's distinct tokens
+    * appear in the right record — `|A∩B| / |A| ≥ t`. The asymmetric
+    * sibling of [[simJoin]]: "find transcripts that contain ≥ t of this
+    * query's tokens", robust to the right side being arbitrarily
+    * longer (a property Jaccard deliberately punishes).
+    *
+    * Pruning is one-sided BY NECESSITY: containment places no lower
+    * bound on the partner's length (a 3-token query can be fully
+    * contained in a 500-token transcript), so no right-side prefix or
+    * length filter can be complete. The LEFT prefix bound is the
+    * classic count bound: overlap ≥ ⌈t·la⌉, so the first
+    * `la − ⌈t·la⌉ + 1` rarest tokens cannot all miss B — joined against
+    * the right side's FULL membership. Scale shape: the join keys are
+    * still only the left prefixes' rarest tokens, and a globally rare
+    * token is rare on the right too (df is computed over both sides),
+    * so the full-membership side never contributes a hot key.
+    *
+    * @return (left_id, right_id, score) with score = |A∩B|/|A|
+    */
+  def containJoin(
+      left: DataFrame,
+      right: DataFrame,
+      threshold: Double,
+      idCol: String = "id",
+      textCol: String = "text"): DataFrame = {
+    val lm = MetaBlocking.membership(left, idCol, textCol)
+    val rm = MetaBlocking.membership(right, idCol, textCol)
+    val dfq = lm.select("tok").unionAll(rm.select("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val byRank = Window.partitionBy("id").orderBy(col("cnt").asc, col("tok").asc)
+    val lp = lm.join(dfq, Seq("tok"))
+      .withColumn("pos", row_number().over(byRank))
+      .withColumn("len", count(lit(1)).over(Window.partitionBy("id")))
+      // p = la − ⌈t·la⌉ + 1, Eps-guarded exactly like candidates()
+      .filter(col("pos").cast("double") <=
+        col("len").cast("double") - (lit(threshold) * col("len") - lit(Eps)) + 1.0)
+      .select(col("id").as("left_id"), col("tok"))
+    val cand = lp
+      .join(rm.select(col("id").as("right_id"), col("tok")), Seq("tok"))
+      .select("left_id", "right_id").distinct()
+    def sets(m: DataFrame, out: String) =
+      m.groupBy(col("id").as(out))
+        .agg(sort_array(collect_list(col("tok"))).as(out + "_ts"))
+    cand
+      .join(sets(lm, "left_id"), Seq("left_id"))
+      .join(sets(rm, "right_id"), Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        (size(array_intersect(col("left_id_ts"), col("right_id_ts"))).cast("double") /
+          size(col("left_id_ts")).cast("double")).as("score"))
+      .filter(col("score") >= lit(threshold))
+  }
+
   // -------------------------------------------------------------------
   // DuckDB mirror
   // -------------------------------------------------------------------
@@ -238,4 +373,81 @@ object SetSimJoin {
   /** Jaccard mirror — kept for the m_setsim_pf oracle wiring. */
   def jaccardJoinSqlDuck(threshold: Double): String =
     simJoinSqlDuck(threshold, "jaccard")
+
+  /** Full mirror of [[weightedCosineJoin]] from `ln(id, t)` / `rn(id,
+    * t)`. Same integer weight grid, same norm-based prefix bound with
+    * the same Scala-computed t² literal, the one double division last —
+    * results hash bit-for-bit. */
+  def weightedCosineJoinSqlDuck(
+      threshold: Double, weightScale: Long = 1000000L): String = {
+    val t = s"CAST($threshold AS DOUBLE)"
+    val t2 = s"CAST(${threshold * threshold} AS DOUBLE)"
+    def prefixCte(name: String, src: String) =
+      s"""$name AS (SELECT id, tok FROM (
+         |  SELECT id, tok,
+         |         sum(w*w) OVER (PARTITION BY id ORDER BY w DESC, tok ASC
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS revcum,
+         |         sum(w*w) OVER (PARTITION BY id) AS nsq
+         |  FROM $src)
+         |  WHERE CAST(revcum AS DOUBLE) >= $t2 * CAST(nsq AS DOUBLE) - 1e-9)""".stripMargin
+    s"""wsl AS (SELECT DISTINCT id, tok FROM
+       |  (SELECT id, unnest(string_split(t, ' ')) AS tok FROM ln) WHERE tok <> ''),
+       |wsr AS (SELECT DISTINCT id, tok FROM
+       |  (SELECT id, unnest(string_split(t, ' ')) AS tok FROM rn) WHERE tok <> ''),
+       |ww AS (SELECT tok, GREATEST(CAST(1 AS BIGINT),
+       |         CAST($weightScale AS BIGINT) // count(*)) AS w FROM
+       |  (SELECT tok FROM wsl UNION ALL SELECT tok FROM wsr) GROUP BY tok),
+       |wml AS (SELECT m.id, m.tok, d.w FROM wsl m JOIN ww d ON m.tok = d.tok),
+       |wmr AS (SELECT m.id, m.tok, d.w FROM wsr m JOIN ww d ON m.tok = d.tok),
+       |${prefixCte("wpl", "wml")},
+       |${prefixCte("wpr", "wmr")},
+       |wcand AS (SELECT DISTINCT l.id AS left_id, r.id AS right_id
+       |  FROM wpl l JOIN wpr r ON l.tok = r.tok),
+       |wnl AS (SELECT id, CAST(sum(w*w) AS BIGINT) AS nsq FROM wml GROUP BY id),
+       |wnr AS (SELECT id, CAST(sum(w*w) AS BIGINT) AS nsq FROM wmr GROUP BY id),
+       |wdot AS (SELECT c.left_id, c.right_id, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+       |  FROM wcand c
+       |  JOIN wml a ON a.id = c.left_id
+       |  JOIN wmr b ON b.id = c.right_id AND b.tok = a.tok
+       |  GROUP BY c.left_id, c.right_id)
+       |SELECT left_id, right_id, score FROM (
+       |  SELECT d.left_id, d.right_id,
+       |         CAST(d.dot AS DOUBLE)
+       |           / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)) AS score
+       |  FROM wdot d
+       |  JOIN wnl na ON d.left_id = na.id
+       |  JOIN wnr nb ON d.right_id = nb.id)
+       |WHERE score >= $t""".stripMargin
+  }
+
+  /** Full mirror of [[containJoin]] from `ln(id, t)` / `rn(id, t)`:
+    * left prefix (count bound, Eps-guarded) joined to the right side's
+    * FULL membership, exact |A∩B|/|A| verification. */
+  def containJoinSqlDuck(threshold: Double): String = {
+    val t = s"CAST($threshold AS DOUBLE)"
+    s"""csl AS (SELECT DISTINCT id, tok FROM
+       |  (SELECT id, unnest(string_split(t, ' ')) AS tok FROM ln) WHERE tok <> ''),
+       |csr AS (SELECT DISTINCT id, tok FROM
+       |  (SELECT id, unnest(string_split(t, ' ')) AS tok FROM rn) WHERE tok <> ''),
+       |csdf AS (SELECT tok, count(*) AS cnt FROM
+       |  (SELECT tok FROM csl UNION ALL SELECT tok FROM csr) GROUP BY tok),
+       |cslp AS (SELECT id, tok FROM
+       |  (SELECT m.id, m.tok,
+       |          row_number() OVER (PARTITION BY m.id ORDER BY d.cnt ASC, m.tok ASC) AS pos,
+       |          count(*) OVER (PARTITION BY m.id) AS len
+       |   FROM csl m JOIN csdf d ON m.tok = d.tok)
+       |  WHERE CAST(pos AS DOUBLE) <= CAST(len AS DOUBLE) - ($t * len - 1e-9) + 1.0),
+       |cscand AS (SELECT DISTINCT l.id AS left_id, r.id AS right_id
+       |  FROM cslp l JOIN csr r ON l.tok = r.tok),
+       |cslset AS (SELECT id, list_sort(list(tok)) AS ts FROM csl GROUP BY id),
+       |csrset AS (SELECT id, list_sort(list(tok)) AS ts FROM csr GROUP BY id)
+       |SELECT left_id, right_id, score FROM (
+       |  SELECT c.left_id, c.right_id,
+       |         CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |           / CAST(len(a.ts) AS DOUBLE) AS score
+       |  FROM cscand c
+       |  JOIN cslset a ON c.left_id = a.id
+       |  JOIN csrset b ON c.right_id = b.id)
+       |WHERE score >= $t""".stripMargin
+  }
 }

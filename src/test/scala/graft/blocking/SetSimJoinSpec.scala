@@ -152,6 +152,131 @@ class SetSimJoinSpec extends SparkSpec {
     assert(SetSimJoin.simJoin(lx, rx, 0.5, "dice").collect()(0).getDouble(2) == 0.75)
   }
 
+  /** Independent driver-side reference for [[SetSimJoin.weightedCosineJoin]]:
+    * same integer weight grid (max(1, scale/df)), plain Scala maps, all
+    * pairs — no prefixes, no Spark. Same final-double arithmetic shape
+    * (one division over exact longs) so scores compare exactly. */
+  private def bruteWeighted(
+      l: Seq[(String, String)], r: Seq[(String, String)], t: Double,
+      scale: Long = 1000000L): Set[(String, String, Double)] = {
+    def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSet
+    val lt = l.map { case (id, s) => id -> toks(s) }.filter(_._2.nonEmpty)
+    val rt = r.map { case (id, s) => id -> toks(s) }.filter(_._2.nonEmpty)
+    val dfq = (lt.flatMap(_._2) ++ rt.flatMap(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val w = dfq.map { case (k, c) => k -> math.max(1L, scale / c) }
+    def nsq(ts: Set[String]) = ts.toSeq.map(x => w(x) * w(x)).sum
+    (for {
+      (lid, la) <- lt; (rid, rb) <- rt
+      dot = (la intersect rb).toSeq.map(x => w(x) * w(x)).sum
+      score = dot.toDouble / math.sqrt(nsq(la).toDouble * nsq(rb).toDouble)
+      if score >= t
+    } yield (lid, rid, score)).toSet
+  }
+
+  test("weighted cosine equals driver-side brute force across thresholds") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("ank", "ist", "izm", "cad", "sok", "no", "12", "5",
+      "mah", "kat", "blok", "d", "xk17", "qz9")
+    def rec(n: Int, p: String) = (0 until n).map { i =>
+      val k = 1 + rnd.nextInt(7)
+      (s"$p$i", Seq.fill(k)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val lrows = rec(60, "l") :+ ("lE" -> "") :+ ("lQ" -> "qz9")
+    val rrows = rec(90, "r") :+ ("rE" -> "   ") :+ ("rQ" -> "qz9")
+    val l = df(lrows: _*); val r = df(rrows: _*)
+    for (t <- Seq(0.5, 0.75, 0.9)) {
+      val got = SetSimJoin.weightedCosineJoin(l, r, t).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+      val want = bruteWeighted(lrows, rrows, t)
+      assert((want -- got).isEmpty, s"t=$t FALSE NEGATIVES: ${want -- got}")
+      assert(got == want, s"t=$t: extras ${got -- want}")
+    }
+    // identical singleton rare token: exact score 1.0 survives any t
+    assert(SetSimJoin.weightedCosineJoin(l, r, 1.0).collect()
+      .exists(x => x.getString(0) == "lQ" && x.getString(1) == "rQ" &&
+        x.getDouble(2) == 1.0))
+  }
+
+  test("weighted cosine: a rare shared token outweighs common filler") {
+    // xk17 is shared and rare; the fillers are each common (df >= 10).
+    val filler = (0 until 10).map(i => (s"fl$i", "f1 f2 f3 g1 g2 g3"))
+    val l = df((filler :+ ("l1" -> "xk17 f1 f2 f3")): _*)
+    val r = df((filler.map { case (id, s) => (s"r$id", s) } :+
+      ("r1" -> "xk17 g1 g2 g3")): _*)
+    val weighted = SetSimJoin.weightedCosineJoin(l, r, 0.85).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    val unweighted = SetSimJoin.simJoin(l, r, 0.85, "cosine").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(weighted.contains(("l1", "r1")),
+      "idf weighting should surface the rare-token match")
+    assert(!unweighted.contains(("l1", "r1")),
+      "unweighted cosine of 1 shared / 4 tokens is far below 0.85")
+  }
+
+  /** Brute containment: every cross pair with |A∩B|/|A| >= t. */
+  private def bruteContain(left: DataFrame, right: DataFrame, t: Double): DataFrame = {
+    def sets(d: DataFrame, side: String) =
+      MetaBlocking.membership(d, "id", "text")
+        .groupBy(col("id").as(s"${side}_id"))
+        .agg(collect_set(col("tok")).as(s"${side.head}_ts"))
+    sets(left, "left").crossJoin(sets(right, "right"))
+      .select(col("left_id"), col("right_id"),
+        (size(array_intersect(col("l_ts"), col("r_ts"))).cast("double") /
+          size(col("l_ts")).cast("double")).as("score"))
+      .filter(col("score") >= lit(t))
+  }
+
+  test("containment join equals brute force; asymmetric by design") {
+    val l = df("l1" -> "a b c d", "l2" -> "q", "l3" -> "", "l4" -> "x y z")
+    val r = df("r1" -> "a b c e f g h i j k l m n o p", "r2" -> "q",
+      "r3" -> "x y", "r4" -> "a b c d")
+    for (t <- Seq(0.5, 0.75, 1.0)) {
+      val got = SetSimJoin.containJoin(l, r, t).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+      val want = bruteContain(l, r, t).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+      assert(got == want, s"t=$t: missing=${want -- got} extra=${got -- want}")
+    }
+    // 3 of l1's 4 tokens sit inside the 15-token r1: score 0.75
+    // exactly, no penalty for r1's extra length (the Jaccard contrast)
+    val c = SetSimJoin.containJoin(l, r, 0.75).collect()
+      .filter(x => x.getString(0) == "l1" && x.getString(1) == "r1")
+    assert(c.length == 1 && c(0).getDouble(2) == 0.75)
+    assert(SetSimJoin.jaccardJoin(l, r, 0.75).collect()
+      .forall(x => !(x.getString(0) == "l1" && x.getString(1) == "r1")))
+    // random sweep
+    val rnd = new scala.util.Random(59)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def rec(n: Int, p: String, kMax: Int) = (0 until n).map { i =>
+      (s"$p$i", Seq.fill(1 + rnd.nextInt(kMax))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val lr = df(rec(50, "l", 4): _*); val rr = df(rec(70, "r", 8): _*)
+    for (t <- Seq(0.34, 0.67, 1.0)) {
+      val got = SetSimJoin.containJoin(lr, rr, t).collect()
+        .map(x => (x.getString(0), x.getString(1))).toSet
+      val want = bruteContain(lr, rr, t).collect()
+        .map(x => (x.getString(0), x.getString(1))).toSet
+      assert((want -- got).isEmpty, s"t=$t FALSE NEGATIVES: ${want -- got}")
+      assert(got == want, s"t=$t: extras ${got -- want}")
+    }
+  }
+
+  test("weighted cosine and containment are partitioning-independent") {
+    val rnd = new scala.util.Random(61)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def rec(n: Int, p: String) = (0 until n).map { i =>
+      (s"$p$i", Seq.fill(1 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val l = df(rec(30, "l"): _*); val r = df(rec(30, "r"): _*)
+    def s3(d: DataFrame) = d.collect()
+      .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+    assert(s3(SetSimJoin.weightedCosineJoin(l, r, 0.6)) ==
+      s3(SetSimJoin.weightedCosineJoin(l.repartition(13), r.repartition(3), 0.6)))
+    assert(s3(SetSimJoin.containJoin(l, r, 0.6)) ==
+      s3(SetSimJoin.containJoin(l.repartition(7), r.repartition(5), 0.6)))
+  }
+
   test("partitioning-independent") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
