@@ -676,6 +676,17 @@ object SparkEntry {
         conv.filter(col("variant") > 0),
         threshold = 0.75, idCol = "conv_id", textCol = "text_norm")
     }),
+    // J33 absolute-overlap join: ≥ c shared distinct tokens, no length
+    // normalization — integer threshold, integer output (SetSimJoin
+    // .overlapJoin scaladoc); the T-overlap sibling of the normalized
+    // set-similarity family.
+    "m_setsim_overlap" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      graft.blocking.SetSimJoin.overlapJoin(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        minOverlap = 30, idCol = "conv_id", textCol = "text_norm")
+    }),
     // COMPOSITE blocking (north-star phrase literal): block-key
     // candidates UNION band candidates, one ranking over both.
     "m_match_comp" -> ((s, dir) => {
@@ -915,6 +926,24 @@ object SparkEntry {
         keyCol = "user_id", ptCol = "ts", loCol = "win_lo", hiCol = "win_hi",
         binSeconds = 3600L)
     }),
+    // T5 binned interval-overlap join: each error event's 1h incident
+    // window × each signup event's 2h activity window of the same user
+    // that overlap — (key, bin) equi-join with a responsible-bin gate
+    // instead of a dedup pass (RangeJoin.intervalOverlap scaladoc).
+    "j_interval" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.temporal.RangeJoin.intervalOverlap(
+        ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_event_id"),
+            col("ts").as("err_lo"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("err_hi")),
+        ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("ses_event_id"),
+            col("ts").as("ses_lo"),
+            (col("ts") + expr("INTERVAL 2 HOUR")).as("ses_hi")),
+        keyCol = "user_id", leftLoCol = "err_lo", leftHiCol = "err_hi",
+        rightLoCol = "ses_lo", rightHiCol = "ses_hi", binSeconds = 3600L)
+    }),
     // W5 stratified sampling: deterministic per-stratum top-N by hash
     // rank — the training-data curation primitive (balanced samples per
     // class/language/source). One window per stratum, no collect; at
@@ -1138,6 +1167,21 @@ object SparkEntry {
          |        FROM events WHERE event_type = 'error')
          |$rj""".stripMargin
     },
+    // T5: independent-formulation oracle — the plain overlap-predicate
+    // join, no bins, no responsible-bin gate.
+    "j_interval" -> {
+      val ij = graft.temporal.RangeJoin.intervalOverlapSqlDuck(
+        "ivl", "ivr", "user_id", "err_lo", "err_hi", "ses_lo", "ses_hi",
+        lCols = Seq("err_event_id", "err_lo", "err_hi"),
+        rCols = Seq("ses_event_id", "ses_lo", "ses_hi"))
+      s"""WITH ivl AS (SELECT user_id, event_id AS err_event_id, ts AS err_lo,
+         |               ts + INTERVAL 1 HOUR AS err_hi
+         |        FROM events WHERE event_type = 'error'),
+         |ivr AS (SELECT user_id, event_id AS ses_event_id, ts AS ses_lo,
+         |               ts + INTERVAL 2 HOUR AS ses_hi
+         |        FROM events WHERE event_type = 'signup')
+         |$ij""".stripMargin
+    },
     "w_stratified" -> """
       |SELECT event_type, event_id FROM (
       |  SELECT event_type, event_id,
@@ -1263,6 +1307,12 @@ object SparkEntry {
          |, ln AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant = 0)
          |, rn AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant > 0)
          |, ${graft.blocking.SetSimJoin.containJoinSqlDuck(0.75)}
+         |""".stripMargin),
+    "m_setsim_overlap" -> withCtes(
+      s"""
+         |, ln AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant = 0)
+         |, rn AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant > 0)
+         |, ${graft.blocking.SetSimJoin.overlapJoinSqlDuck(30)}
          |""".stripMargin),
     "m_match_sn" -> matchSnOracle,
     "m_match_sn_mp" -> matchSnOracleWith(Seq("t", "reverse(t)")),

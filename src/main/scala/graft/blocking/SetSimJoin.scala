@@ -328,6 +328,70 @@ object SetSimJoin {
     * division/sqrt last — so results hash bit-for-bit. The prefix
     * factor is computed HERE (same IEEE double as the Spark side) and
     * inlined via its shortest-roundtrip literal. */
+  /** Exact ABSOLUTE-overlap threshold join (J33): every cross-side
+    * pair sharing at least `minOverlap` distinct tokens, with the
+    * overlap count. The T-overlap join underlying Ed-Join-style gram
+    * filters and "at least c common rare identifiers" linkage rules —
+    * the integer-threshold sibling of [[simJoin]]'s normalized scores
+    * (no length normalization: a 5-token and a 500-token transcript
+    * sharing c tool names qualify equally).
+    *
+    * Prefix bound (count form, EXACT integers — no Eps needed): order
+    * each record's tokens by the global df-ascending order and keep the
+    * first `len − c + 1`. Completeness: a qualifying pair's first
+    * shared token w₀ (in the global order) must sit within BOTH
+    * prefixes — if w₀ is outside a side's prefix, every shared token
+    * sits among that side's last `c − 1` tokens, capping the overlap at
+    * c − 1 < c. Records with fewer than c distinct tokens drop out of
+    * the prefix stage arithmetically (len − c + 1 < 1). Positional
+    * filter: overlap ≤ min(la − pa₀, lb − pb₀) + 1, pruned when below
+    * c — prune-only, same-shuffle groupBy as [[simJoin]]. All counts
+    * are BIGINTs, so the output hashes bit-for-bit against the DuckDB
+    * mirror with no float grid anywhere.
+    *
+    * @return (left_id, right_id, overlap: bigint)
+    */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      minOverlap: Int,
+      idCol: String = "id",
+      textCol: String = "text"): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    val c = minOverlap
+    val lm = MetaBlocking.membership(left, idCol, textCol)
+    val rm = MetaBlocking.membership(right, idCol, textCol)
+    val dfq = lm.select("tok").unionAll(rm.select("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    def prefix(m: DataFrame): DataFrame = {
+      val byRank = Window.partitionBy("id").orderBy(col("cnt").asc, col("tok").asc)
+      m.join(dfq, Seq("tok"))
+        .withColumn("pos", row_number().over(byRank))
+        .withColumn("len", count(lit(1)).over(Window.partitionBy("id")))
+        .filter(col("pos") <= col("len") - c + 1) // exact integer bound
+        .select("id", "tok", "pos", "len")
+    }
+    val cand = prefix(lm)
+      .select(col("id").as("left_id"), col("tok"), col("pos").as("pa"), col("len").as("la"))
+      .join(prefix(rm)
+        .select(col("id").as("right_id"), col("tok"), col("pos").as("pb"), col("len").as("lb")),
+        Seq("tok"))
+      .groupBy("left_id", "right_id", "la", "lb")
+      .agg(min(col("pa")).as("pa0"), min(col("pb")).as("pb0"))
+      // positional filter, integer-exact (prune-only)
+      .filter(least(col("la") - col("pa0"), col("lb") - col("pb0")) + 1 >= c)
+      .select("left_id", "right_id")
+    def sets(m: DataFrame, side: String) =
+      m.groupBy(col("id").as(side + "_id"))
+        .agg(sort_array(collect_list(col("tok"))).as(side + "_ts"))
+    cand
+      .join(sets(lm, "l").withColumnRenamed("l_id", "left_id"), Seq("left_id"))
+      .join(sets(rm, "r").withColumnRenamed("r_id", "right_id"), Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        size(array_intersect(col("l_ts"), col("r_ts"))).cast("bigint").as("overlap"))
+      .filter(col("overlap") >= c)
+  }
+
   def simJoinSqlDuck(threshold: Double, sim: String = "jaccard"): String = {
     val t = s"CAST($threshold AS DOUBLE)"
     val f = s"CAST(${prefixFactor(sim, threshold)} AS DOUBLE)"
@@ -418,6 +482,43 @@ object SetSimJoin {
        |  JOIN wnl na ON d.left_id = na.id
        |  JOIN wnr nb ON d.right_id = nb.id)
        |WHERE score >= $t""".stripMargin
+  }
+
+  /** Full mirror of [[overlapJoin]] from `ln(id, t)` / `rn(id, t)`:
+    * same df-ascending prefix (pure-integer bound, no epsilon), DISTINCT
+    * candidates (the positional filter is prune-only — output
+    * invariant), exact |A∩B| ≥ c verification. */
+  def overlapJoinSqlDuck(minOverlap: Int): String = {
+    val c = minOverlap
+    s"""ovl AS (SELECT DISTINCT id, tok FROM
+       |  (SELECT id, unnest(string_split(t, ' ')) AS tok FROM ln) WHERE tok <> ''),
+       |ovr AS (SELECT DISTINCT id, tok FROM
+       |  (SELECT id, unnest(string_split(t, ' ')) AS tok FROM rn) WHERE tok <> ''),
+       |ovdf AS (SELECT tok, count(*) AS cnt FROM
+       |  (SELECT tok FROM ovl UNION ALL SELECT tok FROM ovr) GROUP BY tok),
+       |ovlp AS (SELECT id, tok FROM
+       |  (SELECT m.id, m.tok,
+       |          row_number() OVER (PARTITION BY m.id ORDER BY d.cnt ASC, m.tok ASC) AS pos,
+       |          count(*) OVER (PARTITION BY m.id) AS len
+       |   FROM ovl m JOIN ovdf d ON m.tok = d.tok)
+       |  WHERE pos <= len - $c + 1),
+       |ovrp AS (SELECT id, tok FROM
+       |  (SELECT m.id, m.tok,
+       |          row_number() OVER (PARTITION BY m.id ORDER BY d.cnt ASC, m.tok ASC) AS pos,
+       |          count(*) OVER (PARTITION BY m.id) AS len
+       |   FROM ovr m JOIN ovdf d ON m.tok = d.tok)
+       |  WHERE pos <= len - $c + 1),
+       |ovcand AS (SELECT DISTINCT l.id AS left_id, r.id AS right_id
+       |  FROM ovlp l JOIN ovrp r ON l.tok = r.tok),
+       |ovlset AS (SELECT id, list_sort(list(tok)) AS ts FROM ovl GROUP BY id),
+       |ovrset AS (SELECT id, list_sort(list(tok)) AS ts FROM ovr GROUP BY id)
+       |SELECT left_id, right_id, overlap FROM (
+       |  SELECT c.left_id, c.right_id,
+       |         CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS overlap
+       |  FROM ovcand c
+       |  JOIN ovlset a ON c.left_id = a.id
+       |  JOIN ovrset b ON c.right_id = b.id)
+       |WHERE overlap >= $c""".stripMargin
   }
 
   /** Full mirror of [[containJoin]] from `ln(id, t)` / `rn(id, t)`:

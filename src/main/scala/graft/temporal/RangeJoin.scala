@@ -54,6 +54,49 @@ object RangeJoin {
       .select(col(keyCol) +: (ptCols ++ payCols).map(col): _*)
   }
 
+  /** Binned INTERVAL-overlap join (T5): intervals × intervals of the
+    * same key that overlap — `a.lo <= b.hi AND b.lo <= a.hi`, both
+    * endpoints inclusive. Same degenerate-plan hazard as
+    * [[pointInInterval]] (Spark plans the raw predicate as per-key
+    * all-pairs), same cure: both sides explode into the fixed-width
+    * bins they cover and the join runs on `(key, bin)`.
+    *
+    * Exactly-once without a dedup pass: an overlapping pair co-occurs
+    * in every bin of the overlap region, so only the RESPONSIBLE bin —
+    * `bin(max(a.lo, b.lo))`, the overlap region's first bin — emits it.
+    * That bin is covered by both sides (overlap gives `a.lo <= b.hi`
+    * and `b.lo <= a.hi`; bins are monotone, so `bin(max(lo)) <=
+    * bin(min(hi))` ≤ each side's last bin), and `max` of two fixed
+    * endpoints is unique per pair — one emission, no distinct(), no
+    * extra shuffle. Exact integer microsecond arithmetic end to end;
+    * DuckDB-hashable against the plain overlap-predicate join.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftLoCol: String,
+      leftHiCol: String,
+      rightLoCol: String,
+      rightHiCol: String,
+      binSeconds: Long = 3600L): DataFrame = {
+    val lCols = left.columns.filterNot(_ == keyCol).toSeq
+    val rCols = right.columns.filterNot(_ == keyCol).toSeq
+    val collide = lCols.toSet.intersect(rCols.toSet)
+    require(collide.isEmpty, s"rename right columns colliding with left: $collide")
+    val binUs = binSeconds * 1000000L
+    def us(c: String) = unix_micros(col(c).cast("timestamp"))
+    def bin(c: String) = floor(us(c) / binUs).cast("long")
+    val l = left.withColumn("__bin", explode(sequence(bin(leftLoCol), bin(leftHiCol))))
+    val r = right.withColumn("__bin", explode(sequence(bin(rightLoCol), bin(rightHiCol))))
+    l.join(r, Seq(keyCol, "__bin"))
+      .filter(us(leftLoCol) <= us(rightHiCol) && us(rightLoCol) <= us(leftHiCol))
+      // responsible-bin gate: emit in the overlap region's first bin only
+      .filter(col("__bin") ===
+        floor(greatest(us(leftLoCol), us(rightLoCol)) / binUs).cast("long"))
+      .select(col(keyCol) +: (lCols ++ rCols).map(col): _*)
+  }
+
   // -------------------------------------------------------------------
   // DuckDB mirror
   // -------------------------------------------------------------------
@@ -73,5 +116,24 @@ object RangeJoin {
     s"""SELECT $sel FROM $ptSrc p JOIN $ivSrc i
        |ON p.$keyCol = i.$keyCol
        |AND p.$ptCol >= i.$loCol AND p.$ptCol <= i.$hiCol""".stripMargin
+  }
+
+  /** Independent-formulation oracle for [[intervalOverlap]]: the plain
+    * overlap-predicate join (no bins, no responsible-bin gate) over
+    * table/CTE names `lSrc` / `rSrc`. */
+  def intervalOverlapSqlDuck(
+      lSrc: String,
+      rSrc: String,
+      keyCol: String,
+      leftLoCol: String,
+      leftHiCol: String,
+      rightLoCol: String,
+      rightHiCol: String,
+      lCols: Seq[String],
+      rCols: Seq[String]): String = {
+    val sel = (s"a.$keyCol" +: (lCols.map("a." + _) ++ rCols.map("b." + _))).mkString(", ")
+    s"""SELECT $sel FROM $lSrc a JOIN $rSrc b
+       |ON a.$keyCol = b.$keyCol
+       |AND a.$leftLoCol <= b.$rightHiCol AND b.$rightLoCol <= a.$leftHiCol""".stripMargin
   }
 }

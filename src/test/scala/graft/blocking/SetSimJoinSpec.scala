@@ -277,6 +277,53 @@ class SetSimJoinSpec extends SparkSpec {
       s3(SetSimJoin.containJoin(l.repartition(7), r.repartition(5), 0.6)))
   }
 
+  test("overlap join equals brute force; integer semantics; short records drop") {
+    // Brute: every cross pair with |A∩B| >= c (same distinct-token sets).
+    def bruteOv(l: DataFrame, r: DataFrame, c: Int): Set[(String, String, Long)] = {
+      def sets(d: DataFrame, side: String) =
+        MetaBlocking.membership(d, "id", "text")
+          .groupBy(col("id").as(s"${side}_id"))
+          .agg(collect_set(col("tok")).as(s"${side.head}_ts"))
+      sets(l, "left").crossJoin(sets(r, "right"))
+        .select(col("left_id"), col("right_id"),
+          size(array_intersect(col("l_ts"), col("r_ts"))).cast("bigint").as("overlap"))
+        .filter(col("overlap") >= c)
+        .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    }
+    def got(l: DataFrame, r: DataFrame, c: Int) =
+      SetSimJoin.overlapJoin(l, r, c).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    // Hand-built: no length normalization — a short and a long record
+    // sharing c tokens qualify; records with < c tokens never can.
+    val l = df("l1" -> "a b c", "l2" -> "a b", "l3" -> "", "l4" -> "p q r s")
+    val r = df("r1" -> "a b c d e f g h i j k l m n o", "r2" -> "a b",
+      "r3" -> "x", "r4" -> "q r s t")
+    val g2 = got(l, r, 2)
+    assert(g2 == bruteOv(l, r, 2))
+    assert(g2.contains(("l1", "r1", 3L))) // 3 shared of a 15-token right
+    assert(g2.contains(("l2", "r2", 2L)))
+    assert(g2.contains(("l4", "r4", 3L)))
+    assert(!g2.exists(_._1 == "l3"))
+    assert(got(l, r, 4) == bruteOv(l, r, 4)) // empty: no pair shares 4
+    assert(got(l, r, 4).isEmpty)
+    // Random corpus across thresholds, incl. c larger than many records.
+    val rnd = new scala.util.Random(83)
+    val vocab = Vector("ank", "ist", "izm", "cad", "sok", "no", "12", "5",
+      "mah", "kat", "blok", "d", "apt", "kt")
+    def rec(n: Int, p: String) = (0 until n).map { i =>
+      val k = 1 + rnd.nextInt(9)
+      (s"$p$i", Seq.fill(k)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val lr = df(rec(60, "l"): _*); val rr = df(rec(90, "r"): _*)
+    for (c <- Seq(1, 2, 4, 6)) {
+      val g = got(lr, rr, c); val w = bruteOv(lr, rr, c)
+      assert((w -- g).isEmpty, s"c=$c FALSE NEGATIVES: ${(w -- g).take(5)}")
+      assert((g -- w).isEmpty, s"c=$c false positives: ${(g -- w).take(5)}")
+    }
+    // Partitioning invariance (integer output → set equality exact).
+    assert(got(lr.repartition(13), rr.repartition(3), 3) == got(lr, rr, 3))
+  }
+
   test("partitioning-independent") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")

@@ -85,4 +85,65 @@ class RangeJoinSpec extends SparkSpec {
     assert(run(p, i, 1800L) == brute(p, i))
     assert(run(p.repartition(9), i.repartition(2), 1800L) == run(p, i, 1800L))
   }
+
+  // ---------------------------------------------------------------
+  // T5 intervalOverlap
+  // ---------------------------------------------------------------
+
+  private def ivl(rows: (Long, Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (u, w, lo, hi) => (u, w, ts(lo), ts(hi)) }
+      .toDF("user_id", "a_id", "a_lo", "a_hi")
+  }
+  private def ivr(rows: (Long, Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (u, w, lo, hi) => (u, w, ts(lo), ts(hi)) }
+      .toDF("user_id", "b_id", "b_lo", "b_hi")
+  }
+  private def runOv(l: DataFrame, r: DataFrame, binSeconds: Long = 3600L): Seq[(Long, Long)] =
+    RangeJoin.intervalOverlap(l, r, "user_id", "a_lo", "a_hi", "b_lo", "b_hi", binSeconds)
+      .select("a_id", "b_id").collect().toSeq
+      .map(x => (x.getLong(0), x.getLong(1)))
+  private def bruteOv(l: DataFrame, r: DataFrame): Set[(Long, Long)] =
+    l.join(r, Seq("user_id"))
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+
+  test("interval overlap: inclusive touch, containment, exactly-once across bins") {
+    val a = ivl(
+      (1L, 1L, "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+      (1L, 2L, "2024-01-01 00:00:00", "2024-01-02 00:00:00"), // long: 25 bins
+      (2L, 3L, "2024-01-01 10:00:00", "2024-01-01 12:00:00"))
+    val b = ivr(
+      (1L, 10L, "2024-01-01 12:00:00", "2024-01-01 13:00:00"), // touches a1's hi -> in
+      (1L, 11L, "2024-01-01 12:00:01", "2024-01-01 13:00:00"), // just past -> out vs a1
+      (1L, 12L, "2024-01-01 10:30:00", "2024-01-01 10:40:00"), // inside a1
+      (3L, 13L, "2024-01-01 10:00:00", "2024-01-01 12:00:00")) // other key
+    val got = runOv(a, b)
+    assert(got.length == got.distinct.length, "pair emitted more than once")
+    assert(got.toSet == bruteOv(a, b))
+    assert(got.toSet == Set(1L -> 10L, 1L -> 12L, 2L -> 10L, 2L -> 11L, 2L -> 12L))
+  }
+
+  test("interval overlap equals brute force on the events fixture; invariances hold") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val a = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("a_id"),
+        col("ts").as("a_lo"), (col("ts") + expr("INTERVAL 1 HOUR")).as("a_hi"))
+    val b = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("b_id"),
+        col("ts").as("b_lo"), (col("ts") + expr("INTERVAL 2 HOUR")).as("b_hi"))
+    val got = runOv(a, b)
+    assert(got.length == got.distinct.length, "dup pair on fixture")
+    assert(got.toSet == bruteOv(a, b))
+    // bin-width and partitioning invariance
+    assert(runOv(a, b, 600L).toSet == got.toSet)
+    assert(runOv(a, b, 86400L).toSet == got.toSet)
+    assert(runOv(a.repartition(9), b.repartition(2)).toSet == got.toSet)
+    // plan stays an equi-join on the bin
+    val plan = RangeJoin.intervalOverlap(a, b, "user_id", "a_lo", "a_hi", "b_lo", "b_hi")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
