@@ -676,6 +676,17 @@ object SparkEntry {
         conv.filter(col("variant") > 0),
         threshold = 0.75, idCol = "conv_id", textCol = "text_norm")
     }),
+    // J34 weighted-Jaccard join: idf-weighted token masses on the same
+    // exact-integer grid as J31 — rare shared identifiers dominate,
+    // unshared bulk still punished via the union denominator
+    // (SetSimJoin.weightedJaccardJoin scaladoc).
+    "m_setsim_wjac" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      graft.blocking.SetSimJoin.weightedJaccardJoin(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        threshold = 0.97, idCol = "conv_id", textCol = "text_norm")
+    }),
     // J33 absolute-overlap join: ≥ c shared distinct tokens, no length
     // normalization — integer threshold, integer output (SetSimJoin
     // .overlapJoin scaladoc); the T-overlap sibling of the normalized
@@ -1307,6 +1318,12 @@ object SparkEntry {
          |, ln AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant = 0)
          |, rn AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant > 0)
          |, ${graft.blocking.SetSimJoin.containJoinSqlDuck(0.75)}
+         |""".stripMargin),
+    "m_setsim_wjac" -> withCtes(
+      s"""
+         |, ln AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant = 0)
+         |, rn AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant > 0)
+         |, ${graft.blocking.SetSimJoin.weightedJaccardJoinSqlDuck(0.97)}
          |""".stripMargin),
     "m_setsim_overlap" -> withCtes(
       s"""

@@ -265,6 +265,79 @@ object SetSimJoin {
       .filter(col("score") >= lit(threshold))
   }
 
+  /** Exact WEIGHTED-Jaccard threshold join (J34): every cross-side
+    * pair with `W(A∩B) / W(A∪B) ≥ t`, where each token carries the
+    * same integer idf weight as [[weightedCosineJoin]] (`max(1, scale
+    * div df)`) and a set's weight is the sum over its tokens. The
+    * weighted upgrade of [[simJoin]]'s Jaccard: sharing one rare
+    * identifier outweighs sharing a pile of ubiquitous filler, while
+    * the UNION in the denominator still punishes unshared bulk (the
+    * property [[containJoin]] deliberately gives up).
+    *
+    * Prefix bound (weight-mass form): J ≥ t forces shared weight
+    * `W(A∩B) ≥ t·W(A∪B) ≥ t·W(A)`. Order each record's tokens by the
+    * global weight-DESC (tok ASC) order and keep position p while the
+    * tail mass `revcum(p) = Σ_{i≥p} w_i ≥ t·W(x)`. If a qualifying
+    * pair's first shared token w₀ sits outside A's prefix, every
+    * shared token sits in A's tail below the cut, so W(A∩B) ≤
+    * revcum < t·W(A) — contradiction; symmetrically for B, so the
+    * prefix-prefix equi-join is complete. Weight-mass length filter
+    * (prune-only, classic Jaccard bound on masses): t·W(A) ≤ W(B) ≤
+    * W(A)/t. Every mass is a BIGINT; the score is one final double
+    * division of exact integers — bit-identical across engines and
+    * partitionings (DuckDB-hashable), same discipline as J31.
+    *
+    * @return (left_id, right_id, score) with
+    *         score = shared/(wa + wb − shared)
+    */
+  def weightedJaccardJoin(
+      left: DataFrame,
+      right: DataFrame,
+      threshold: Double,
+      idCol: String = "id",
+      textCol: String = "text",
+      weightScale: Long = 1000000L): DataFrame = {
+    val lm = MetaBlocking.membership(left, idCol, textCol)
+    val rm = MetaBlocking.membership(right, idCol, textCol)
+    val ww = lm.select("tok").unionAll(rm.select("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(col("tok"),
+        greatest(lit(1L), expr(s"CAST($weightScale AS BIGINT) div cnt")).as("w"))
+    val wl = lm.join(ww, Seq("tok"))
+    val wr = rm.join(ww, Seq("tok"))
+    def prefix(m: DataFrame): DataFrame = {
+      val byRank = Window.partitionBy("id").orderBy(col("w").desc, col("tok").asc)
+      m.withColumn("revcum", sum(col("w")).over(
+          byRank.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .withColumn("wsum", sum(col("w")).over(Window.partitionBy("id")))
+        .filter(col("revcum").cast("double") >=
+          lit(threshold) * col("wsum").cast("double") - lit(Eps))
+        .select("id", "tok", "wsum")
+    }
+    val cand = prefix(wl)
+      .select(col("id").as("left_id"), col("tok"), col("wsum").as("wa"))
+      .join(prefix(wr)
+        .select(col("id").as("right_id"), col("tok"), col("wsum").as("wb")), Seq("tok"))
+      // weight-mass length filter — prune-only
+      .filter(col("wb").cast("double") >= lit(threshold) * col("wa") - lit(Eps) &&
+        col("wb").cast("double") <= col("wa").cast("double") / lit(threshold) + lit(Eps))
+      .select("left_id", "right_id").distinct()
+    def masses(m: DataFrame, out: String) =
+      m.groupBy(col("id").as(out)).agg(sum(col("w")).cast("long").as(out + "_wsum"))
+    cand
+      .join(wl.select(col("id").as("left_id"), col("tok"), col("w")), Seq("left_id"))
+      .join(wr.select(col("id").as("right_id"), col("tok")), Seq("right_id", "tok"))
+      .groupBy("left_id", "right_id")
+      .agg(sum(col("w")).cast("long").as("shared"))
+      .join(masses(wl, "left_id"), Seq("left_id"))
+      .join(masses(wr, "right_id"), Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        (col("shared").cast("double") /
+          (col("left_id_wsum") + col("right_id_wsum") - col("shared")).cast("double"))
+          .as("score"))
+      .filter(col("score") >= lit(threshold))
+  }
+
   /** Exact CONTAINMENT threshold join (J32): every cross-side pair
     * where at least `threshold` of the LEFT record's distinct tokens
     * appear in the right record — `|A∩B| / |A| ≥ t`. The asymmetric
@@ -481,6 +554,53 @@ object SetSimJoin {
        |  FROM wdot d
        |  JOIN wnl na ON d.left_id = na.id
        |  JOIN wnr nb ON d.right_id = nb.id)
+       |WHERE score >= $t""".stripMargin
+  }
+
+  /** Full mirror of [[weightedJaccardJoin]] from `ln(id, t)` /
+    * `rn(id, t)`: same integer weight grid, same weight-mass prefix
+    * bound (Eps-guarded like the Spark side), the one double division
+    * last — results hash bit-for-bit. */
+  def weightedJaccardJoinSqlDuck(
+      threshold: Double, weightScale: Long = 1000000L): String = {
+    val t = s"CAST($threshold AS DOUBLE)"
+    def prefixCte(name: String, src: String) =
+      s"""$name AS (SELECT id, tok, wsum FROM (
+         |  SELECT id, tok,
+         |         sum(w) OVER (PARTITION BY id ORDER BY w DESC, tok ASC
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS revcum,
+         |         sum(w) OVER (PARTITION BY id) AS wsum
+         |  FROM $src)
+         |  WHERE CAST(revcum AS DOUBLE) >= $t * CAST(wsum AS DOUBLE) - 1e-9)""".stripMargin
+    s"""wjl AS (SELECT DISTINCT id, tok FROM
+       |  (SELECT id, unnest(string_split(t, ' ')) AS tok FROM ln) WHERE tok <> ''),
+       |wjr AS (SELECT DISTINCT id, tok FROM
+       |  (SELECT id, unnest(string_split(t, ' ')) AS tok FROM rn) WHERE tok <> ''),
+       |wjw AS (SELECT tok, GREATEST(CAST(1 AS BIGINT),
+       |         CAST($weightScale AS BIGINT) // count(*)) AS w FROM
+       |  (SELECT tok FROM wjl UNION ALL SELECT tok FROM wjr) GROUP BY tok),
+       |wjml AS (SELECT m.id, m.tok, d.w FROM wjl m JOIN wjw d ON m.tok = d.tok),
+       |wjmr AS (SELECT m.id, m.tok, d.w FROM wjr m JOIN wjw d ON m.tok = d.tok),
+       |${prefixCte("wjpl", "wjml")},
+       |${prefixCte("wjpr", "wjmr")},
+       |wjcand AS (SELECT DISTINCT l.id AS left_id, r.id AS right_id
+       |  FROM wjpl l JOIN wjpr r ON l.tok = r.tok
+       |  WHERE CAST(r.wsum AS DOUBLE) >= $t * l.wsum - 1e-9
+       |    AND CAST(r.wsum AS DOUBLE) <= CAST(l.wsum AS DOUBLE) / $t + 1e-9),
+       |wjma AS (SELECT id, CAST(sum(w) AS BIGINT) AS wsum FROM wjml GROUP BY id),
+       |wjmb AS (SELECT id, CAST(sum(w) AS BIGINT) AS wsum FROM wjmr GROUP BY id),
+       |wjsh AS (SELECT c.left_id, c.right_id, CAST(sum(a.w) AS BIGINT) AS shared
+       |  FROM wjcand c
+       |  JOIN wjml a ON a.id = c.left_id
+       |  JOIN wjmr b ON b.id = c.right_id AND b.tok = a.tok
+       |  GROUP BY c.left_id, c.right_id)
+       |SELECT left_id, right_id, score FROM (
+       |  SELECT s.left_id, s.right_id,
+       |         CAST(s.shared AS DOUBLE)
+       |           / CAST(na.wsum + nb.wsum - s.shared AS DOUBLE) AS score
+       |  FROM wjsh s
+       |  JOIN wjma na ON s.left_id = na.id
+       |  JOIN wjmb nb ON s.right_id = nb.id)
        |WHERE score >= $t""".stripMargin
   }
 

@@ -277,6 +277,56 @@ class SetSimJoinSpec extends SparkSpec {
       s3(SetSimJoin.containJoin(l.repartition(7), r.repartition(5), 0.6)))
   }
 
+  test("weighted Jaccard equals driver-side brute force; weighting changes ranking") {
+    // Independent driver-side brute force: same integer weight grid,
+    // computed with plain Scala collections (no Spark expressions).
+    def bruteWj(l: DataFrame, r: DataFrame, t: Double): Set[(String, String, Double)] = {
+      def toks(d: DataFrame) = d.collect()
+        .map(x => (x.getString(0), x.getString(1).split("\\s+").filter(_.nonEmpty).toSet))
+      val lt = toks(l); val rt = toks(r)
+      val df = (lt ++ rt).flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+      def w(tok: String) = math.max(1L, 1000000L / df(tok))
+      def mass(s: Set[String]) = s.toSeq.map(w).sum
+      (for {
+        (li, ls) <- lt; (ri, rs) <- rt
+        sh = mass(ls.intersect(rs))
+        un = mass(ls) + mass(rs) - sh
+        if un > 0
+        sc = sh.toDouble / un.toDouble
+        if sc >= t
+      } yield (li, ri, sc)).toSet
+    }
+    def got(l: DataFrame, r: DataFrame, t: Double) =
+      SetSimJoin.weightedJaccardJoin(l, r, t).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+    val rnd = new scala.util.Random(97)
+    // xk17/qz9 deliberately NOT in the random vocab -> df 2, weight 5e5 each
+    val vocab = Vector("the", "a", "of", "to", "and", // common filler
+      "trace", "panel", "flux", "warp", "gyro")
+    def rec(n: Int, p: String) = (0 until n).map { i =>
+      val k = 1 + rnd.nextInt(8)
+      (s"$p$i", Seq.fill(k)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val l = df(rec(50, "l") :+ ("lq" -> "xk17 qz9 the a of to and"): _*)
+    val r = df(rec(70, "r") :+ ("rq" -> "xk17 qz9"): _*)
+    for (t <- Seq(0.35, 0.5, 0.8)) {
+      val g = got(l, r, t); val w = bruteWj(l, r, t)
+      assert((w -- g).isEmpty, s"t=$t FALSE NEGATIVES: ${(w -- g).take(5)}")
+      assert((g -- w).isEmpty, s"t=$t false positives: ${(g -- w).take(5)}")
+    }
+    // weighting beats filler: lq shares only 2 of its 7 tokens with rq,
+    // but those two are the rare identifiers — the weighted score must
+    // dominate every all-filler pairing of lq (unweighted Jaccard 2/7
+    // would NOT: a full filler subset scores higher by count)
+    val all = bruteWj(l, r, 0.0).filter(_._1 == "lq")
+    val rqScore = all.find(_._2 == "rq").get._3
+    assert(all.filter(_._2 != "rq").forall(_._3 < rqScore),
+      s"rare-identifier pair must outrank all filler pairs: rq=$rqScore, " +
+        s"max other=${all.filter(_._2 != "rq").map(_._3).max}")
+    // partitioning invariance (exact-integer masses -> bit equality)
+    assert(got(l.repartition(11), r.repartition(3), 0.5) == got(l, r, 0.5))
+  }
+
   test("overlap join equals brute force; integer semantics; short records drop") {
     // Brute: every cross pair with |A∩B| >= c (same distinct-token sets).
     def bruteOv(l: DataFrame, r: DataFrame, c: Int): Set[(String, String, Long)] = {
