@@ -676,6 +676,21 @@ object SparkEntry {
         conv.filter(col("variant") > 0),
         threshold = 0.75, idCol = "conv_id", textCol = "text_norm")
     }),
+    // J35 overlap-coefficient join: |A∩B|/min — the symmetric closure
+    // of containment (either side t-contained in the other); candidates
+    // are two one-sided prefix legs unioned (SetSimJoin.overlapCoeffJoin
+    // scaladoc). Min-normalization is inherently dense on a
+    // shared-vocabulary corpus (any near-subset qualifies), so the
+    // query runs the operator's production shape — a deterministic
+    // hash-slice query set against the full corpus (same left-bounding
+    // discipline as a_edjoin).
+    "m_setsim_ocoeff" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      graft.blocking.SetSimJoin.overlapCoeffJoin(
+        conv.filter(col("variant") === 0 && md5(col("conv_id")) < "02"),
+        conv.filter(col("variant") > 0),
+        threshold = 0.9, idCol = "conv_id", textCol = "text_norm")
+    }),
     // J34 weighted-Jaccard join: idf-weighted token masses on the same
     // exact-integer grid as J31 — rare shared identifiers dominate,
     // unshared bulk still punished via the union denominator
@@ -1318,6 +1333,13 @@ object SparkEntry {
          |, ln AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant = 0)
          |, rn AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant > 0)
          |, ${graft.blocking.SetSimJoin.containJoinSqlDuck(0.75)}
+         |""".stripMargin),
+    "m_setsim_ocoeff" -> withCtes(
+      s"""
+         |, ln AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm
+         |         WHERE variant = 0 AND md5(conv_id) < '02')
+         |, rn AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant > 0)
+         |, ${graft.blocking.SetSimJoin.overlapCoeffJoinSqlDuck(0.9)}
          |""".stripMargin),
     "m_setsim_wjac" -> withCtes(
       s"""

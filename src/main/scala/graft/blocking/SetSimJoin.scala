@@ -557,6 +557,64 @@ object SetSimJoin {
        |WHERE score >= $t""".stripMargin
   }
 
+  /** Exact OVERLAP-COEFFICIENT threshold join (J35): every cross-side
+    * pair with `|A∩B| / min(|A|,|B|) ≥ t` — the Szymkiewicz–Simpson
+    * coefficient, the symmetric closure of [[containJoin]] (a pair
+    * qualifies when EITHER side is t-contained in the other; any
+    * subset relationship scores 1.0 regardless of the size gap, the
+    * case Jaccard and Dice deliberately punish).
+    *
+    * Pruning: the count bound `overlap ≥ ⌈t·len⌉` holds only for the
+    * SHORTER side — the coefficient places no lower bound on the
+    * longer partner's overlap fraction, and which side is shorter is
+    * a per-pair fact unknown at generation time. So candidates are
+    * the UNION of two one-sided legs, each complete for the pairs
+    * whose min is on its side: left-prefix × right-full (complete
+    * when |A| ≤ |B| — the min side's t-prefix must hit the partner)
+    * and left-full × right-prefix (the mirror; equal lengths are
+    * caught by both). No length filter exists (any ratio qualifies),
+    * same as containment. Join keys stay cold: each leg keys on one
+    * side's RAREST tokens under the global df order. Exact
+    * verification per candidate; one distinct over the unioned legs.
+    *
+    * @return (left_id, right_id, score) with score = |A∩B|/min(|A|,|B|)
+    */
+  def overlapCoeffJoin(
+      left: DataFrame,
+      right: DataFrame,
+      threshold: Double,
+      idCol: String = "id",
+      textCol: String = "text"): DataFrame = {
+    val lm = MetaBlocking.membership(left, idCol, textCol)
+    val rm = MetaBlocking.membership(right, idCol, textCol)
+    val dfq = lm.select("tok").unionAll(rm.select("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val byRank = Window.partitionBy("id").orderBy(col("cnt").asc, col("tok").asc)
+    def prefix(m: DataFrame): DataFrame =
+      m.join(dfq, Seq("tok"))
+        .withColumn("pos", row_number().over(byRank))
+        .withColumn("len", count(lit(1)).over(Window.partitionBy("id")))
+        .filter(col("pos").cast("double") <=
+          col("len").cast("double") - (lit(threshold) * col("len") - lit(Eps)) + 1.0)
+        .select("id", "tok")
+    def leg(l: DataFrame, r: DataFrame) =
+      l.select(col("id").as("left_id"), col("tok"))
+        .join(r.select(col("id").as("right_id"), col("tok")), Seq("tok"))
+        .select("left_id", "right_id")
+    val cand = leg(prefix(lm), rm).unionAll(leg(lm, prefix(rm))).distinct()
+    def sets(m: DataFrame, out: String) =
+      m.groupBy(col("id").as(out))
+        .agg(sort_array(collect_list(col("tok"))).as(out + "_ts"))
+    cand
+      .join(sets(lm, "left_id"), Seq("left_id"))
+      .join(sets(rm, "right_id"), Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        (size(array_intersect(col("left_id_ts"), col("right_id_ts"))).cast("double") /
+          least(size(col("left_id_ts")), size(col("right_id_ts"))).cast("double"))
+          .as("score"))
+      .filter(col("score") >= lit(threshold))
+  }
+
   /** Full mirror of [[weightedJaccardJoin]] from `ln(id, t)` /
     * `rn(id, t)`: same integer weight grid, same weight-mass prefix
     * bound (Eps-guarded like the Spark side), the one double division
@@ -639,6 +697,42 @@ object SetSimJoin {
        |  JOIN ovlset a ON c.left_id = a.id
        |  JOIN ovrset b ON c.right_id = b.id)
        |WHERE overlap >= $c""".stripMargin
+  }
+
+  /** Full mirror of [[overlapCoeffJoin]] from `ln(id, t)` / `rn(id,
+    * t)`: same two one-sided prefix legs unioned (Eps-guarded count
+    * bound), exact |A∩B|/min verification. */
+  def overlapCoeffJoinSqlDuck(threshold: Double): String = {
+    val t = s"CAST($threshold AS DOUBLE)"
+    def prefixCte(name: String, src: String) =
+      s"""$name AS (SELECT id, tok FROM
+         |  (SELECT m.id, m.tok,
+         |          row_number() OVER (PARTITION BY m.id ORDER BY d.cnt ASC, m.tok ASC) AS pos,
+         |          count(*) OVER (PARTITION BY m.id) AS len
+         |   FROM $src m JOIN ocdf d ON m.tok = d.tok)
+         |  WHERE CAST(pos AS DOUBLE) <= CAST(len AS DOUBLE) - ($t * len - 1e-9) + 1.0)""".stripMargin
+    s"""ocl AS (SELECT DISTINCT id, tok FROM
+       |  (SELECT id, unnest(string_split(t, ' ')) AS tok FROM ln) WHERE tok <> ''),
+       |ocr AS (SELECT DISTINCT id, tok FROM
+       |  (SELECT id, unnest(string_split(t, ' ')) AS tok FROM rn) WHERE tok <> ''),
+       |ocdf AS (SELECT tok, count(*) AS cnt FROM
+       |  (SELECT tok FROM ocl UNION ALL SELECT tok FROM ocr) GROUP BY tok),
+       |${prefixCte("oclp", "ocl")},
+       |${prefixCte("ocrp", "ocr")},
+       |occand AS (SELECT DISTINCT left_id, right_id FROM (
+       |  SELECT l.id AS left_id, r.id AS right_id FROM oclp l JOIN ocr r ON l.tok = r.tok
+       |  UNION ALL
+       |  SELECT l.id AS left_id, r.id AS right_id FROM ocl l JOIN ocrp r ON l.tok = r.tok)),
+       |oclset AS (SELECT id, list_sort(list(tok)) AS ts FROM ocl GROUP BY id),
+       |ocrset AS (SELECT id, list_sort(list(tok)) AS ts FROM ocr GROUP BY id)
+       |SELECT left_id, right_id, score FROM (
+       |  SELECT c.left_id, c.right_id,
+       |         CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |           / CAST(LEAST(len(a.ts), len(b.ts)) AS DOUBLE) AS score
+       |  FROM occand c
+       |  JOIN oclset a ON c.left_id = a.id
+       |  JOIN ocrset b ON c.right_id = b.id)
+       |WHERE score >= $t""".stripMargin
   }
 
   /** Full mirror of [[containJoin]] from `ln(id, t)` / `rn(id, t)`:

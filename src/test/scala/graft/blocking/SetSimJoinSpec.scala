@@ -277,6 +277,53 @@ class SetSimJoinSpec extends SparkSpec {
       s3(SetSimJoin.containJoin(l.repartition(7), r.repartition(5), 0.6)))
   }
 
+  test("overlap coefficient equals brute force; symmetric-containment semantics") {
+    def bruteOc(l: DataFrame, r: DataFrame, t: Double): Set[(String, String, Double)] = {
+      def sets(d: DataFrame, side: String) =
+        MetaBlocking.membership(d, "id", "text")
+          .groupBy(col("id").as(s"${side}_id"))
+          .agg(collect_set(col("tok")).as(s"${side.head}_ts"))
+      sets(l, "left").crossJoin(sets(r, "right"))
+        .select(col("left_id"), col("right_id"),
+          (size(array_intersect(col("l_ts"), col("r_ts"))).cast("double") /
+            least(size(col("l_ts")), size(col("r_ts"))).cast("double")).as("score"))
+        .filter(col("score") >= t)
+        .collect().map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+    }
+    def got(l: DataFrame, r: DataFrame, t: Double) =
+      SetSimJoin.overlapCoeffJoin(l, r, t).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+    // Hand-built: subset relationships score 1.0 in BOTH directions —
+    // short-left-in-long-right AND long-left-containing-short-right —
+    // exactly the pairs Jaccard at the same threshold drops.
+    val l = df("l1" -> "a b", "l2" -> "a b c d e f g h", "l3" -> "x y z")
+    val r = df("r1" -> "a b c d e f g h i j", "r2" -> "a b", "r3" -> "x q")
+    val g = got(l, r, 0.9)
+    assert(g == bruteOc(l, r, 0.9))
+    assert(g.contains(("l1", "r1", 1.0))) // min side left, 5x longer right
+    assert(g.contains(("l2", "r2", 1.0))) // min side right
+    assert(!g.exists(p => p._1 == "l3" && p._2 == "r3")) // 1/2 < 0.9
+    val jac = SetSimJoin.jaccardJoin(l, r, 0.9).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(!jac.contains(("l1", "r1")), "Jaccard must drop the size-skewed pair")
+    // Random corpus across thresholds
+    val rnd = new scala.util.Random(59)
+    val vocab = Vector("ank", "ist", "izm", "cad", "sok", "no", "12", "5",
+      "mah", "kat", "blok", "d")
+    def rec(n: Int, p: String) = (0 until n).map { i =>
+      val k = 1 + rnd.nextInt(8)
+      (s"$p$i", Seq.fill(k)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val lr = df(rec(60, "l"): _*); val rr = df(rec(90, "r"): _*)
+    for (t <- Seq(0.4, 0.67, 0.9)) {
+      val gg = got(lr, rr, t); val w = bruteOc(lr, rr, t)
+      assert((w -- gg).isEmpty, s"t=$t FALSE NEGATIVES: ${(w -- gg).take(5)}")
+      assert((gg -- w).isEmpty, s"t=$t false positives: ${(gg -- w).take(5)}")
+    }
+    // partitioning invariance
+    assert(got(lr.repartition(11), rr.repartition(3), 0.67) == got(lr, rr, 0.67))
+  }
+
   test("weighted Jaccard equals driver-side brute force; weighting changes ranking") {
     // Independent driver-side brute force: same integer weight grid,
     // computed with plain Scala collections (no Spark expressions).
