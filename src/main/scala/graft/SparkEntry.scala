@@ -835,6 +835,17 @@ object SparkEntry {
       graft.cluster.GoldenRecord.merge(
         recs, addrClusters(s, dir), idCol = "id", textCol = "address_norm")
     }),
+    // A16 cluster medoid: the member minimizing intra-cluster edit
+    // distance — a real whole record as the canonical representative,
+    // vs a_golden's per-field survivorship (GoldenRecord.medoid
+    // scaladoc).
+    "a_medoid" -> ((s, dir) => {
+      val recs = addrNorm(AddressFixture.left(s, dir))
+        .unionAll(addrNorm(AddressFixture.rightAll(s, dir)))
+        .select(col("id"), col("address_norm"))
+      graft.cluster.GoldenRecord.medoid(
+        recs, addrClusters(s, dir), idCol = "id", textCol = "address_norm")
+    }),
     // Incremental clustering: the committed match pairs split into a
     // prior batch and an increment by a deterministic pair hash; the
     // prior batch is clustered, committed as (id, component), and the
@@ -1114,6 +1125,18 @@ object SparkEntry {
          |    UNION ALL SELECT id, $normL AS t FROM addr_right) s
          |  JOIN cc c ON s.id = c.id),
          |${graft.cluster.GoldenRecord.mergeSqlDuck}
+         |""".stripMargin
+    },
+    "a_medoid" -> withAddrCtes {
+      val normL = Normalizer.normalizeAddressSqlDuck("address")
+      s"""
+         |, $addrCcCtes,
+         |grec AS (
+         |  SELECT c.component, s.id, s.t FROM (
+         |    SELECT id, $normL AS t FROM addr_left
+         |    UNION ALL SELECT id, $normL AS t FROM addr_right) s
+         |  JOIN cc c ON s.id = c.id),
+         |${graft.cluster.GoldenRecord.medoidSqlDuck}
          |""".stripMargin
     },
     "a_match_index" -> withAddrCtes(

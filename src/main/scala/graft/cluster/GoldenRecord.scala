@@ -63,6 +63,69 @@ object GoldenRecord {
   // DuckDB mirror
   // -------------------------------------------------------------------
 
+  /** Cluster MEDOID selection (A16) — the distance-based canonical
+    * record: per cluster, the member minimizing the SUM of edit
+    * distances to every other member (ties to the smallest id),
+    * with that sum exposed as a cluster-cohesion statistic. The
+    * complement of [[merge]]'s per-field rules: the medoid is a real,
+    * whole record (never a Franken-record of mixed fields), the usual
+    * choice when downstream consumers need one representative
+    * transcript/address verbatim.
+    *
+    * Scale shape: one id-keyed join, then pairwise distances WITHIN
+    * each cluster only — a self-equi-join on `component`, Σ|cluster|²
+    * scored pairs total, each through the codegen'd `levenshtein`.
+    * That quadratic is intrinsic to exact medoids and fine at the
+    * match-cluster scale this pipeline produces (clusters are entity
+    * groups, tens of members); for degenerate giant clusters cap with
+    * a member bound upstream or fall back to [[merge]]'s linear rules.
+    * Singletons never join (no partner rows) and re-enter with
+    * dist_sum 0 via the left join. Integer sums, lexicographic ties —
+    * partitioning-independent and DuckDB-hashable.
+    *
+    * @return (component, medoid_id, dist_sum)
+    */
+  def medoid(
+      records: DataFrame,
+      assignments: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text",
+      componentCol: String = "component"): DataFrame = {
+    val rec = records.select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(assignments.select(col(idCol).as("id"), col(componentCol).as("component")),
+        Seq("id"))
+    val sums = rec
+      .join(rec.select(col("component"), col("id").as("id2"), col("t").as("t2")),
+        Seq("component"))
+      .filter(col("id") =!= col("id2"))
+      .groupBy("component", "id")
+      .agg(sum(levenshtein(col("t"), col("t2")).cast("bigint")).as("dist_sum"))
+    rec.select("component", "id")
+      .join(sums, Seq("component", "id"), "left")
+      .withColumn("dist_sum", coalesce(col("dist_sum"), lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("component").orderBy(col("dist_sum").asc, col("id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("id").as("medoid_id"), col("dist_sum"))
+  }
+
+  /** Mirror of [[medoid]]: expects `grec(component, id, t)` in scope,
+    * like [[mergeSqlDuck]]. */
+  def medoidSqlDuck: String =
+    s"""md_pair AS (SELECT a.component, a.id,
+       |    CAST(sum(levenshtein(a.t, b.t)) AS BIGINT) AS dist_sum
+       |  FROM grec a JOIN grec b
+       |    ON a.component = b.component AND a.id <> b.id
+       |  GROUP BY a.component, a.id),
+       |md_all AS (SELECT g.component, g.id,
+       |    COALESCE(p.dist_sum, CAST(0 AS BIGINT)) AS dist_sum
+       |  FROM grec g LEFT JOIN md_pair p
+       |    ON g.component = p.component AND g.id = p.id)
+       |SELECT component, id AS medoid_id, dist_sum FROM (
+       |  SELECT component, id, dist_sum, row_number() OVER (
+       |    PARTITION BY component ORDER BY dist_sum ASC, id ASC) AS rn
+       |  FROM md_all) WHERE rn = 1""".stripMargin
+
   /** Mirror of [[merge]]: expects a CTE `grec(component, id, t)` (the
     * already-joined member records) in scope; CTE chain + final SELECT
     * `(component, canonical_id, n_members, text_mode, text_longest)`. */

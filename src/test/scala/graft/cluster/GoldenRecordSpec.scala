@@ -41,6 +41,56 @@ class GoldenRecordSpec extends SparkSpec {
     assert(row2.getString(3) == "kk" && row2.getString(4) == "uzun sokak")
   }
 
+  test("medoid: central member wins, singleton dist 0, equals brute force") {
+    // c1: "abcd" is 1 edit from both neighbors, the outliers are 2 apart
+    val r = recs("m1" -> "abcd", "m2" -> "abcx", "m3" -> "abyd", "s1" -> "lone")
+    val a = asg("m1" -> 1L, "m2" -> 1L, "m3" -> 1L, "s1" -> 2L)
+    val got = GoldenRecord.medoid(r, a).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "m1", 2L), (2L, "s1", 0L)))
+    // tie -> min id: two equidistant members
+    val r2 = recs("z2" -> "aa", "z1" -> "bb", "z3" -> "aa")
+    // z1<->z2 = 2, z1<->z3 = 2, z2<->z3 = 0 => z2,z3 both sum 2; min id z2
+    val row = GoldenRecord.medoid(r2, asg("z1" -> 7L, "z2" -> 7L, "z3" -> 7L)).collect()(0)
+    assert((row.getLong(0), row.getString(1), row.getLong(2)) == ((7L, "z2", 2L)))
+    // brute force on the fixture clusters: exact equality
+    val recsF = graft.SparkEntry.addrNorm(
+      graft.fixtures.AddressFixture.left(spark, sf0001))
+      .unionAll(graft.SparkEntry.addrNorm(
+        graft.fixtures.AddressFixture.rightAll(spark, sf0001)))
+      .select(col("id"), col("address_norm"))
+    val asgF = graft.SparkEntry.addrClusters(spark, sf0001)
+    val med = GoldenRecord.medoid(recsF, asgF, textCol = "address_norm")
+    // CC components over string ids are the min member id (a string)
+    val rows = med.collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    // one medoid per cluster, and it is a member of its cluster
+    val byComp = asgF.select(col("id"), col("component")).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(rows.length == byComp.size)
+    rows.foreach { case (c, id, _) => assert(byComp(c).contains(id)) }
+    // driver-side brute force over the joined records
+    val recMap = recsF.collect().map(x => (x.getString(0), x.getString(1))).toMap
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    val want = byComp.map { case (c, ids) =>
+      val sums = ids.toSeq.map(i =>
+        (i, ids.toSeq.filter(_ != i).map(j => lev(recMap(i), recMap(j)).toLong).sum))
+      val best = sums.minBy(x => (x._2, x._1))
+      (c, best._1, best._2)
+    }.toSet
+    assert(rows.toSet == want)
+    // partitioning invariance
+    assert(GoldenRecord.medoid(recsF.repartition(9), asgF.repartition(2),
+      textCol = "address_norm").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet == rows.toSet)
+  }
+
   test("fixture: every cluster collapses to one row; canonical_id is a member") {
     val recsF = graft.SparkEntry.addrNorm(
         graft.fixtures.AddressFixture.left(spark, sf0001))
