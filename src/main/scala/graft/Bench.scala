@@ -363,7 +363,21 @@ object Bench {
     "sessionize_events" -> (() =>
       graft.sessions.Sessionize.sessionStats(
         graft.sessions.Sessionize.assignSessions(
-          s.read.parquet(s"$dir/events.parquet"), gapSeconds = 43200L)).count()))
+          s.read.parquet(s"$dir/events.parquet"), gapSeconds = 43200L)).count()),
+    // round-4 exact set-similarity family representative: the
+    // absolute-overlap join exercises the whole prefix-filter frame
+    // (df agg, per-record rank, rare-key equi-join, positional filter,
+    // exact verification) at ~2.5s for sf0.1 (measured via SetSimTime;
+    // the t=0.5 Jaccard variant legitimately emits 35M pairs on the
+    // 12-variant corpus and is too output-heavy for a suite slot)
+    "setsim_overlap" -> (() => {
+      val conv = SparkEntry.convNorm(s, dir).cache()
+      try graft.blocking.SetSimJoin.overlapJoin(
+        conv.filter(org.apache.spark.sql.functions.col("variant") === 0),
+        conv.filter(org.apache.spark.sql.functions.col("variant") > 0),
+        minOverlap = 30, idCol = "conv_id", textCol = "text_norm").count()
+      finally conv.unpersist()
+    }))
 
   /** Untimed warmup before the suite: a small end-to-end match over the
     * same code paths (parquet scan, turn assembly, normalize codegen,
