@@ -277,6 +277,30 @@ class SetSimJoinSpec extends SparkSpec {
       s3(SetSimJoin.containJoin(l.repartition(7), r.repartition(5), 0.6)))
   }
 
+  test("round-4 variants: equi-join plans, prefixes genuinely prune") {
+    val conv = graft.SparkEntry.convNorm(spark, sf0001)
+      .withColumnRenamed("conv_id", "id").withColumnRenamed("text_norm", "text")
+      .cache()
+    val l = conv.filter(col("variant") === 0)
+    val r = conv.filter(col("variant") > 0)
+    val cross = l.count() * r.count()
+    def check(tag: String, out: org.apache.spark.sql.DataFrame): Long = {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$tag must stay equi-joins end to end:\n$plan")
+      val n = out.count()
+      assert(n > 0, s"$tag: fixture should produce matches")
+      assert(n < cross, s"$tag: no pruning at all?")
+      n
+    }
+    check("wjac", SetSimJoin.weightedJaccardJoin(l, r, 0.97, "id", "text"))
+    check("overlap", SetSimJoin.overlapJoin(l, r, 30, "id", "text"))
+    check("ocoeff", SetSimJoin.overlapCoeffJoin(
+      l.filter(md5(col("id")) < "08"), r, 0.9, "id", "text"))
+    conv.unpersist()
+  }
+
   test("overlap coefficient equals brute force; symmetric-containment semantics") {
     def bruteOc(l: DataFrame, r: DataFrame, t: Double): Set[(String, String, Double)] = {
       def sets(d: DataFrame, side: String) =
