@@ -385,6 +385,15 @@ object SparkEntry {
     FellegiSunter.matchPosteriors(fsGammas(s, dir), fsEmParams(s, dir),
       fsCfg.posteriorThreshold)
 
+  /** FS three-zone decision rule at target error rates (μ, λ_err). */
+  def fsZones(s: SparkSession, dir: String): DataFrame =
+    FellegiSunter.decisionZones(
+      FellegiSunter.gammaCounts(fsGammas(s, dir)), fsEmParams(s, dir))
+
+  /** Clerical-review queue: pairs in the POSSIBLE zone. */
+  def fsReview(s: SparkSession, dir: String): DataFrame =
+    FellegiSunter.reviewQueue(fsGammas(s, dir), fsZones(s, dir))
+
   // -------------------------------------------------------------------
   // Token blocking + meta-blocking (J28) over the address fixture
   // -------------------------------------------------------------------
@@ -774,6 +783,10 @@ object SparkEntry {
     // the posterior-thresholded match set under the learned model.
     "fs_em_params" -> ((s, dir) => fsEmParams(s, dir)),
     "fs_em_match" -> ((s, dir) => fsEmMatch(s, dir)),
+    // FS Theorem-1 three-zone rule (link / possible / nonlink at
+    // target error rates) + the clerical-review queue it induces.
+    "fs_zones" -> ((s, dir) => fsZones(s, dir)),
+    "fs_review" -> ((s, dir) => fsReview(s, dir)),
     // J28 meta-blocking: token blocking with block purging, then
     // weight-edge pruning (mean-CBS threshold) / cardinality-node
     // pruning (top-k per record by Jaccard).
@@ -1047,6 +1060,14 @@ object SparkEntry {
     "fs_em_match" -> withAddrCtes(
       s", $fsGamCte ${FellegiSunter.emChainSqlDuck(fsCfg)} " +
         FellegiSunter.emMatchSelectSqlDuck(fsCfg)),
+    "fs_zones" -> withAddrCtes(
+      s", $fsGamCte ${FellegiSunter.emChainSqlDuck(fsCfg)}" +
+        s"${FellegiSunter.zonesCteSqlDuck(fsCfg)} " +
+        FellegiSunter.zonesSelectSqlDuck),
+    "fs_review" -> withAddrCtes(
+      s", $fsGamCte ${FellegiSunter.emChainSqlDuck(fsCfg)}" +
+        s"${FellegiSunter.zonesCteSqlDuck(fsCfg)} " +
+        FellegiSunter.reviewSelectSqlDuck),
     "b_meta_wep" -> withAddrCtes(
       s", $addrNormCtes, ${graft.blocking.MetaBlocking.pairWeightsCteDuck(mbCfg)} " +
         graft.blocking.MetaBlocking.wepSelectSqlDuck),

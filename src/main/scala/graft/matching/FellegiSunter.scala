@@ -151,6 +151,18 @@ object FellegiSunter {
     }
   }
 
+  /** CONDITIONAL pattern likelihood Πm = P(γ|M) (resp. Πu = P(γ|U)) —
+    * [[likeli]] without the λ base; starts the left-associated product
+    * at 1.0 so the SQL mirror reproduces the op shape exactly. */
+  private def likeliCond(m: Boolean): Column =
+    fields.foldLeft(lit(1.0): Column) { (acc, f) =>
+      val p = (if (m) "m_" else "u_") + f.tag
+      val sel = (1 until f.n - 1).foldLeft(when(col(f.gcol) === 0, col(s"${p}0"))) {
+        (w, l) => w.when(col(f.gcol) === l, col(s"$p$l"))
+      }.otherwise(col(s"$p${f.n - 1}"))
+      acc * sel
+    }
+
   private def paramNames: Seq[String] =
     "lambda" +: fields.flatMap(f =>
       (0 until f.n).flatMap(l => Seq(s"m_${f.tag}$l", s"u_${f.tag}$l")))
@@ -209,6 +221,73 @@ object FellegiSunter {
       .withColumn("posterior", col("pm") / (col("pm") + col("pu")))
       .filter(col("posterior") >= threshold)
       .select("left_id", "right_id", "g_t", "g_d", "g_g", "posterior")
+
+  /** Fellegi–Sunter THREE-ZONE decision rule (FS 1969 Theorem 1 — the
+    * part of the theory [[matchPosteriors]]' single posterior cut
+    * skips): given target error rates μ (false-match: probability mass
+    * of TRUE NON-MATCHES the link zone may absorb) and λ_err
+    * (false-non-match: mass of TRUE MATCHES the non-link zone may
+    * absorb), order the observed γ patterns by likelihood ratio
+    * R = P(γ|M)/P(γ|U) descending and take
+    *
+    *   - LINK      — the longest top prefix with Σ P(γ|U) ≤ μ,
+    *   - NON-LINK  — the longest bottom suffix with Σ P(γ|M) ≤ λ_err,
+    *   - POSSIBLE  — everything between: the clerical-review zone,
+    *
+    * which FS prove is the optimal (minimal-review) rule at those
+    * error levels. A pattern satisfying both prefix and suffix bounds
+    * (overlapping zones at loose μ/λ) links — review stays empty.
+    *
+    * Everything happens on the ≤18-row pattern table: the windows run
+    * on a constant-size frame (the pattern space is fixed by the γ
+    * schema, NOT by data size — a deliberate SinglePartition over 18
+    * rows), so the rule costs nothing at any corpus scale and pairs
+    * join their zone by γ equality, map-side against a broadcast.
+    * Ratio ties order by (g_t, g_d, g_g) DESC — deterministic and
+    * mirrored; every double op keeps the Scala/SQL shape parity the
+    * EM chain established, so zones are DuckDB-hashable.
+    *
+    * @return one row per observed pattern:
+    *         (g_t, g_d, g_g, cnt, ratio, zone ∈ link|possible|nonlink)
+    */
+  def decisionZones(
+      counts: DataFrame,
+      params: DataFrame,
+      mu: Double = 0.01,
+      lambdaErr: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byRatioDesc = Window.orderBy(col("ratio").desc,
+      col("g_t").desc, col("g_d").desc, col("g_g").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byRatioAsc = Window.orderBy(col("ratio").asc,
+      col("g_t").asc, col("g_d").asc, col("g_g").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(params))
+      .withColumn("pm", likeliCond(m = true))
+      .withColumn("pu", likeliCond(m = false))
+      .withColumn("ratio", col("pm") / col("pu"))
+      .withColumn("cum_u", sum(col("pu")).over(byRatioDesc))
+      .withColumn("cum_m", sum(col("pm")).over(byRatioAsc))
+      .withColumn("zone",
+        when(col("cum_u") <= lit(mu), "link")
+          .when(col("cum_m") <= lit(lambdaErr), "nonlink")
+          .otherwise("possible"))
+      .select(col("g_t"), col("g_d"), col("g_g"), col("cnt"),
+        col("ratio"), col("zone"))
+  }
+
+  /** The clerical-review queue: pairs whose γ pattern falls in the
+    * POSSIBLE zone of [[decisionZones]] — the set a production linkage
+    * pipeline routes to human review. Zone lookup is a broadcast
+    * equi-join on the constant-size pattern table; deterministic
+    * output (pairs + pattern + ratio). */
+  def reviewQueue(
+      gammas: DataFrame,
+      zones: DataFrame): DataFrame =
+    gammas.join(broadcast(zones.filter(col("zone") === "possible")
+        .select("g_t", "g_d", "g_g", "ratio")),
+      Seq("g_t", "g_d", "g_g"))
+      .select("left_id", "right_id", "g_t", "g_d", "g_g", "ratio")
 
   // -------------------------------------------------------------------
   // DuckDB mirrors (oracle SQL builders)
@@ -271,6 +350,50 @@ object FellegiSunter {
     }
     sb.toString
   }
+
+  /** [[likeliCond]]'s mirror: the conditional product, left-associated
+    * from CAST(1.0 AS DOUBLE) — same op shape as the Spark column. */
+  private def likeliCondSql(m: Boolean): String =
+    fields.foldLeft("CAST(1.0 AS DOUBLE)") { (acc, f) =>
+      s"($acc * (${selSql(f.gcol, (if (m) "m_" else "u_") + f.tag, f.n)}))"
+    }
+
+  /** Mirror of [[decisionZones]]: CTE chain from `pat` + `it{iters}`
+    * (both emitted by [[emChainSqlDuck]]); emits `, fsz AS (…)` whose
+    * final shape is (g_t, g_d, g_g, cnt, ratio, zone). */
+  def zonesCteSqlDuck(
+      cfg: FsConfig = FsConfig(),
+      mu: Double = 0.01,
+      lambdaErr: Double = 0.01): String =
+    s""", fszp AS (
+       |  SELECT g_t, g_d, g_g, cnt, pm / pu AS ratio, pm, pu FROM (
+       |    SELECT p.g_t, p.g_d, p.g_g, p.cnt,
+       |           ${likeliCondSql(m = true)} AS pm,
+       |           ${likeliCondSql(m = false)} AS pu
+       |    FROM pat p CROSS JOIN it${cfg.iters} i)),
+       |fsz AS (
+       |  SELECT g_t, g_d, g_g, cnt, ratio,
+       |         CASE WHEN cum_u <= CAST($mu AS DOUBLE) THEN 'link'
+       |              WHEN cum_m <= CAST($lambdaErr AS DOUBLE) THEN 'nonlink'
+       |              ELSE 'possible' END AS zone
+       |  FROM (SELECT g_t, g_d, g_g, cnt, ratio,
+       |          sum(pu) OVER (ORDER BY ratio DESC, g_t DESC, g_d DESC, g_g DESC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u,
+       |          sum(pm) OVER (ORDER BY ratio ASC, g_t ASC, g_d ASC, g_g ASC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_m
+       |        FROM fszp))""".stripMargin.replaceAll("\n\\s*\\|", " ")
+
+  /** Final SELECT for the zones query. */
+  def zonesSelectSqlDuck: String =
+    "SELECT g_t, g_d, g_g, cnt, ratio, zone FROM fsz"
+
+  /** Final SELECT for the review-queue query (mirror of
+    * [[reviewQueue]] over `gam` + `fsz`). */
+  def reviewSelectSqlDuck: String =
+    s"""SELECT g.left_id, g.right_id, g.g_t, g.g_d, g.g_g, z.ratio
+       |FROM gam g JOIN fsz z
+       |  ON g.g_t = z.g_t AND g.g_d = z.g_d AND g.g_g = z.g_g
+       |WHERE z.zone = 'possible'""".stripMargin.replaceAll("\n\\s*", " ")
 
   /** Final SELECT for the learned-parameter query. */
   def emParamsSelectSqlDuck(cfg: FsConfig = FsConfig()): String =

@@ -75,6 +75,48 @@ class FellegiSunterSpec extends SparkSpec {
     }
   }
 
+  test("three-zone rule: ordered zones, monotone in ratio, review queue consistent") {
+    val g = gammas(sf0001).cache()
+    val counts = FellegiSunter.gammaCounts(g)
+    val params = FellegiSunter.emFit(counts, cfg)
+    val zones = FellegiSunter.decisionZones(counts, params).cache()
+    val rows = zones.collect()
+    // total partition: every observed pattern gets exactly one zone
+    assert(rows.map(_.getAs[String]("zone")).forall(
+      Set("link", "possible", "nonlink")))
+    assert(zones.count() == counts.count())
+    // zones are ratio-ordered bands: min(link) >= max(possible) >= ...
+    def ratios(z: String): Seq[Double] =
+      rows.filter(_.getAs[String]("zone") == z).map(_.getAs[Double]("ratio")).toSeq
+    val (lk, ps, nl) = (ratios("link"), ratios("possible"), ratios("nonlink"))
+    assert(lk.nonEmpty && ps.nonEmpty && nl.nonEmpty,
+      s"expected all three zones on the fixture: link=${lk.size} possible=${ps.size} nonlink=${nl.size}")
+    if (lk.nonEmpty && ps.nonEmpty) assert(lk.min >= ps.max)
+    if (ps.nonEmpty && nl.nonEmpty) assert(ps.min >= nl.max)
+    // link zone captures the gold pairs (strong-agreement patterns)
+    val gold = 2 * AddressFixture.left(spark, sf0001).count()
+    val linked = FellegiSunter.reviewQueue(g,
+      zones.withColumn("zone",
+        when(col("zone") === "link", "possible").otherwise("x")))
+    val tp = linked.filter(col("right_id") === concat(lit("r"), col("left_id")) ||
+      col("right_id") === concat(lit("s"), col("left_id"))).count()
+    info(s"gold=$gold link-zone tp=$tp of ${linked.count()}")
+    assert(tp >= (gold * 0.95).toLong, s"link-zone recall ${tp.toDouble / gold}")
+    // review queue == pairs whose pattern is 'possible'
+    val queue = FellegiSunter.reviewQueue(g, zones)
+    val expected = rows.filter(_.getAs[String]("zone") == "possible")
+      .map(_.getAs[Long]("cnt")).sum
+    assert(queue.count() == expected)
+    // determinism under partitioning
+    val z2 = FellegiSunter.decisionZones(
+      FellegiSunter.gammaCounts(g.repartition(13)), params).collect()
+    assert(z2.map(r => (r.getAs[Int]("g_t"), r.getAs[Int]("g_d"),
+      r.getAs[Int]("g_g"), r.getAs[String]("zone"))).sortBy(_.toString).toSeq ==
+      rows.map(r => (r.getAs[Int]("g_t"), r.getAs[Int]("g_d"),
+        r.getAs[Int]("g_g"), r.getAs[String]("zone"))).sortBy(_.toString).toSeq)
+    g.unpersist(); zones.unpersist()
+  }
+
   test("gamma binning levels") {
     import spark.implicits._
     val rows = Seq(
