@@ -303,6 +303,18 @@ object SparkEntry {
       addrCfg.copy(scorer = "dl_ratio"), idCol = "id", textCol = "address_norm",
       hasGeo = true)
 
+  /** Same full match blocked by the PHONETIC key (J36, classic
+    * Soundex of the first alphabetic run): sound-alike mahalle names
+    * land in one block regardless of where the spelling diverges —
+    * the complement of the prefix family (first-edit-blind) and LSH
+    * bands (shingle-mass-driven). */
+  def addrMatchPhonetic(s: SparkSession, dir: String): DataFrame =
+    Matcher.matchPairs(
+      addrNorm(AddressFixture.left(s, dir)),
+      addrNorm(AddressFixture.rightAll(s, dir)),
+      addrCfg.copy(blockBy = "phonetic"), idCol = "id",
+      textCol = "address_norm", hasGeo = true)
+
   /** Clusters: transitive closure (large-star/small-star CC) over the
     * accepted address pairs — the north-rule stage. */
   def addrClusters(s: SparkSession, dir: String): DataFrame =
@@ -322,9 +334,10 @@ object SparkEntry {
   private def addrMatchBody: String =
     addrMatchBodyWith(Scores.levRatioSqlDuck("l.t", "r.t"))
 
-  private def addrMatchBodyWith(textScoreSql: String): String = {
+  private def addrMatchBodyWith(
+      textScoreSql: String,
+      bk: String = BlockKeys.digitsPrefixKeySqlDuck("t", 6)): String = {
     val normL = Normalizer.normalizeAddressSqlDuck("address")
-    val bk = BlockKeys.digitsPrefixKeySqlDuck("t", 6)
     val lev = textScoreSql
     val ds = Scores.digitsScoreSqlDuck("l.t", "r.t")
     val hav = Scores.haversineKmSqlDuck("l.lat", "l.lon", "r.lat", "r.lon")
@@ -778,6 +791,9 @@ object SparkEntry {
     // address match (codegen'd expression; DuckDB damerau_levenshtein
     // is the oracle).
     "a_match_dl" -> ((s, dir) => addrMatchDl(s, dir)),
+    // J36 phonetic (Soundex) blocking: same scorer chain, sound-alike
+    // block key.
+    "a_match_phon" -> ((s, dir) => addrMatchPhonetic(s, dir)),
     // J27 Fellegi-Sunter: EM-learned (λ, m, u) over quantized
     // responsibilities (integer-exact aggregates → oracle-hashable) and
     // the posterior-thresholded match set under the learned model.
@@ -1054,6 +1070,8 @@ object SparkEntry {
     "a_match_lev" -> withAddrCtes(s"SELECT * FROM ($addrMatchBody)"),
     "a_match_dl" -> withAddrCtes(
       s"SELECT * FROM (${addrMatchBodyWith(Scores.dlRatioSqlDuck("l.t", "r.t"))})"),
+    "a_match_phon" -> withAddrCtes(
+      s"SELECT * FROM (${addrMatchBodyWith(Scores.levRatioSqlDuck("l.t", "r.t"), BlockKeys.phoneticKeySqlDuck("t"))})"),
     "fs_em_params" -> withAddrCtes(
       s", $fsGamCte ${FellegiSunter.emChainSqlDuck(fsCfg)} " +
         FellegiSunter.emParamsSelectSqlDuck(fsCfg)),
