@@ -173,6 +173,37 @@ object SparkEntry {
 
   private def matchLshOracle: String = matchLshOracleWith(None)
 
+  /** DuckDB mirror of the set-sim-generated match (`m_match_setsim`):
+    * the J29 exact-Jaccard pair CTE continued into the same scored/
+    * ranked chain as the LSH oracle. */
+  private def matchSetSimOracle: String = withCtes {
+    val ds = graft.similarity.Scores.digitsScoreSqlDuck("lt", "rt")
+    s"""
+       |, ln AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant = 0)
+       |, rn AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant > 0)
+       |, ${graft.blocking.SetSimJoin.simJoinCteSqlDuck(0.5, "jaccard", "sspairs")}
+       |, cand AS (
+       |  SELECT p.left_id, p.right_id, l.t AS lt, r.t AS rt
+       |  FROM sspairs p
+       |  JOIN ln l ON p.left_id = l.id
+       |  JOIN rn r ON p.right_id = r.id
+       |)
+       |, scored AS (
+       |  SELECT left_id, right_id,
+       |         round((jaro_winkler_similarity(lt, rt) * 100.0 * 0.8::DOUBLE
+       |                + $ds::DOUBLE * 0.15::DOUBLE)
+       |               / (0.8::DOUBLE + 0.15::DOUBLE), 2) AS score
+       |  FROM cand
+       |)
+       |, ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY left_id
+       |                               ORDER BY score DESC, right_id ASC) AS rn
+       |  FROM scored WHERE score >= 60.0
+       |)
+       |SELECT left_id, right_id, score FROM ranked WHERE rn <= 3
+       |""".stripMargin
+  }
+
   /** DuckDB mirror of the sorted-neighborhood match (`m_match_sn` /
     * `m_match_sn_mp`): per sort key, one total order over the unioned
     * sides — (key, text, side, id) is a unique key, so `row_number` is
@@ -559,6 +590,18 @@ object SparkEntry {
         conv.filter(col("variant") > 0),
         MatchConfig.reference.copy(scorer = "jaro_winkler"),
         idCol = "conv_id", textCol = "text_norm")
+    }),
+    // J37 set-similarity candidate generation: candidates = the EXACT
+    // prefix-filtered token-Jaccard join at 0.5 (provable recall floor
+    // — every pair above minSim is admitted, unlike probabilistic LSH
+    // bands), same scorer/threshold/topk chain.
+    "m_match_setsim" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      Matcher.matchPairsSetSimBlocked(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        MatchConfig.reference.copy(scorer = "jaro_winkler"),
+        idCol = "conv_id", textCol = "text_norm", minSim = 0.5)
     }),
     // Same LSH-banded match over TOKEN 2-grams (the north-star's
     // "token q-grams" shingle family; m_match_lsh is the char-5-gram
@@ -1351,6 +1394,7 @@ object SparkEntry {
     // match SQL verbatim (see the queries entry)
     "m_match_bloom" -> matchJwOracle,
     "m_match_lsh" -> matchLshOracle,
+    "m_match_setsim" -> matchSetSimOracle,
     "m_match_lsh_tok" -> matchLshTokOracle,
     // incremental LSH fold is provably = the full LSH match, so the
     // oracle is the full-match SQL verbatim

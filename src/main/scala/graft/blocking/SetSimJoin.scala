@@ -465,7 +465,10 @@ object SetSimJoin {
       .filter(col("overlap") >= c)
   }
 
-  def simJoinSqlDuck(threshold: Double, sim: String = "jaccard"): String = {
+  /** [[simJoinSqlDuck]]'s chain ending as a CTE named `out` instead of
+    * a final SELECT — lets downstream oracles (the J37 matcher
+    * generator) continue the WITH list from the thresholded pair set. */
+  def simJoinCteSqlDuck(threshold: Double, sim: String, out: String): String = {
     val t = s"CAST($threshold AS DOUBLE)"
     val f = s"CAST(${prefixFactor(sim, threshold)} AS DOUBLE)"
     val inter = "len(list_intersect(a.ts, b.ts))"
@@ -498,14 +501,18 @@ object SetSimJoin {
        |  WHERE CAST(r.len AS DOUBLE) >= $f * l.len - 1e-9
        |    AND CAST(r.len AS DOUBLE) <= CAST(l.len AS DOUBLE) / $f + 1e-9),
        |sslset AS (SELECT id, list_sort(list(tok)) AS ts FROM ssl GROUP BY id),
-       |ssrset AS (SELECT id, list_sort(list(tok)) AS ts FROM ssr GROUP BY id)
-       |SELECT left_id, right_id, score FROM (
+       |ssrset AS (SELECT id, list_sort(list(tok)) AS ts FROM ssr GROUP BY id),
+       |$out AS (SELECT left_id, right_id, score FROM (
        |  SELECT c.left_id, c.right_id, $scoreSql AS score
        |  FROM sscand c
        |  JOIN sslset a ON c.left_id = a.id
        |  JOIN ssrset b ON c.right_id = b.id)
-       |WHERE score >= $t""".stripMargin
+       |WHERE score >= $t)""".stripMargin
   }
+
+  def simJoinSqlDuck(threshold: Double, sim: String = "jaccard"): String =
+    simJoinCteSqlDuck(threshold, sim, "ssout") +
+      "\nSELECT left_id, right_id, score FROM ssout"
 
   /** Jaccard mirror — kept for the m_setsim_pf oracle wiring. */
   def jaccardJoinSqlDuck(threshold: Double): String =

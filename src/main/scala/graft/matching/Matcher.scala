@@ -788,6 +788,63 @@ object Matcher {
       cfg.topk)
   }
 
+  /** Set-similarity candidate generation (J37): candidates = the EXACT
+    * prefix-filtered token set-similarity join
+    * ([[graft.blocking.SetSimJoin.simJoin]], J29) at `minSim`, then
+    * the standard scorer/threshold/topk chain. The generator family's
+    * missing recall guarantee: block keys anchor the string head, LSH
+    * bands are PROBABILISTIC (a near-dup pair can miss every band),
+    * sorted neighborhood is position-bound — this generator provably
+    * admits EVERY pair whose token-set similarity clears `minSim`
+    * (J29's zero-false-negative prefix bound), so the matcher's recall
+    * floor is an explicit, tunable number.
+    *
+    * Plan shape: the J29 join prunes on COLD tokens by construction
+    * (its candidate keys are each record's rarest tokens), so unlike
+    * the block/band generators it needs no hot-key salting; the slim
+    * (left_id, right_id) candidate set then picks up each side's text
+    * and heavy per-row columns by id — two hash joins sized by the
+    * GENERATOR's output, not the corpus — and the shared scoring tail
+    * ([[scoreThresholdTextPairs]]) keeps cfg semantics identical to
+    * every other path. */
+  def scoredPairsSetSimBlocked(
+      left: DataFrame,
+      right: DataFrame,
+      cfg: MatchConfig,
+      idCol: String = "id",
+      textCol: String = "text",
+      minSim: Double = 0.5,
+      sim: String = "jaccard"): DataFrame = {
+    val preTok = cfg.scorer.equalsIgnoreCase("token_set_ratio")
+    val scorer = FuzzFunctions.scorer(cfg.scorer)
+    val cand = graft.blocking.SetSimJoin.simJoin(
+      left, right, minSim, sim, idCol, textCol)
+      .select("left_id", "right_id")
+    val l = heavyRowCols(
+      left.select(col(idCol).as("left_id"), col(textCol).as("left_text")),
+      "left", cfg, preTok)
+    val r = heavyRowCols(
+      right.select(col(idCol).as("right_id"), col(textCol).as("right_text")),
+      "right", cfg, preTok)
+    scoreThresholdTextPairs(
+      cand.join(l, "left_id").join(r, "right_id"), cfg, preTok, scorer)
+  }
+
+  /** [[scoredPairsSetSimBlocked]] + the standard distinct top-k
+    * ranking (the J29 candidate set is already DISTINCT; the shared
+    * ranking keeps replay/composite composition uniform). */
+  def matchPairsSetSimBlocked(
+      left: DataFrame,
+      right: DataFrame,
+      cfg: MatchConfig,
+      idCol: String = "id",
+      textCol: String = "text",
+      minSim: Double = 0.5,
+      sim: String = "jaccard"): DataFrame =
+    rankTopKDistinct(
+      scoredPairsSetSimBlocked(left, right, cfg, idCol, textCol, minSim, sim),
+      cfg.topk)
+
   /** Blocking-quality statistics — the ER-canonical evaluation of a
     * candidate GENERATOR (before any scoring): given the generator's
     * candidate pair set and a labeled truth set,
