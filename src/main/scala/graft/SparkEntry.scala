@@ -603,6 +603,25 @@ object SparkEntry {
         MatchConfig.reference.copy(scorer = "jaro_winkler"),
         idCol = "conv_id", textCol = "text_norm", minSim = 0.5)
     }),
+    // Incremental fold over the set-sim generator — candidacy is
+    // per-pair (exact sim >= minSim), so incremental == full; oracle
+    // is the full-match SQL verbatim.
+    "m_match_setsim_incr" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      val cfgJw = MatchConfig.reference.copy(scorer = "jaro_winkler")
+      val isOld = coalesce(
+        expr("try_cast(regexp_extract(conv_id, 'c([0-9]+)_', 1) AS BIGINT) % 2 = 0"),
+        lit(false))
+      val l = conv.filter(col("variant") === 0)
+      val r = conv.filter(col("variant") > 0)
+      val prior = Matcher.matchPairsSetSimBlocked(
+        l.filter(isOld), r.filter(isOld), cfgJw,
+        idCol = "conv_id", textCol = "text_norm", minSim = 0.5)
+      Matcher.matchPairsIncrementalSetSim(
+        l.filter(isOld), l.filter(not(isOld)),
+        r.filter(isOld), r.filter(not(isOld)),
+        prior, cfgJw, idCol = "conv_id", textCol = "text_norm", minSim = 0.5)
+    }),
     // Same LSH-banded match over TOKEN 2-grams (the north-star's
     // "token q-grams" shingle family; m_match_lsh is the char-5-gram
     // reading).
@@ -674,6 +693,19 @@ object SparkEntry {
         conv.filter(col("variant") > 0),
         MatchConfig.reference.copy(scorer = "jaro_winkler"),
         sortKeys = Seq(identity, (c: Column) => reverse(c)),
+        idCol = "conv_id", textCol = "text_norm", window = 10)
+    }),
+    // Sorted-neighborhood pass ordered by the PHONETIC key (J26 × J36,
+    // the classic merge/purge pass choice): sound-alike first tokens
+    // sort adjacent, so the window pairs spelling variants that both
+    // the text and reversed-text passes sort far apart.
+    "m_match_sn_ph" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      Matcher.matchPairsSortedNeighborhoodMultiPass(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        MatchConfig.reference.copy(scorer = "jaro_winkler"),
+        sortKeys = Seq((c: Column) => graft.blocking.BlockKeys.phoneticKey(c)),
         idCol = "conv_id", textCol = "text_norm", window = 10)
     }),
     // J6 scorer family: symmetric Monge-Elkan hybrid (token-level
@@ -1395,6 +1427,7 @@ object SparkEntry {
     "m_match_bloom" -> matchJwOracle,
     "m_match_lsh" -> matchLshOracle,
     "m_match_setsim" -> matchSetSimOracle,
+    "m_match_setsim_incr" -> matchSetSimOracle,
     "m_match_lsh_tok" -> matchLshTokOracle,
     // incremental LSH fold is provably = the full LSH match, so the
     // oracle is the full-match SQL verbatim
@@ -1461,6 +1494,8 @@ object SparkEntry {
          |""".stripMargin),
     "m_match_sn" -> matchSnOracle,
     "m_match_sn_mp" -> matchSnOracleWith(Seq("t", "reverse(t)")),
+    "m_match_sn_ph" -> matchSnOracleWith(
+      Seq(graft.blocking.BlockKeys.phoneticKeySqlDuck("t"))),
     "e_blocking_quality" -> withCtes {
       val bk = BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)
       s"""

@@ -830,6 +830,39 @@ object Matcher {
       cand.join(l, "left_id").join(r, "right_id"), cfg, preTok, scorer)
   }
 
+  /** [[matchPairsIncremental]] over the set-sim generator — unlike
+    * sorted neighborhood, candidacy here IS per-pair: the generator's
+    * OUTPUT is exactly {(l, r) : sim(tokens_l, tokens_r) ≥ minSim}
+    * (J29's zero-false-negative bound makes the df-ordered prefix
+    * filter a pure pruning optimization — global token frequencies
+    * affect which candidates are VERIFIED, never which pairs emerge),
+    * so the subspace decomposition proof behind the block/LSH
+    * incrementals applies verbatim: new×all ∪ old×new scored fresh,
+    * the prior top-k summarizes old×old, one ranking; replay/upsert
+    * repeats carry identical deterministic scores and collapse in
+    * [[rankTopKDistinct]]. */
+  def matchPairsIncrementalSetSim(
+      leftOld: DataFrame,
+      leftNew: DataFrame,
+      rightOld: DataFrame,
+      rightNew: DataFrame,
+      priorMatches: DataFrame,
+      cfg: MatchConfig,
+      idCol: String = "id",
+      textCol: String = "text",
+      minSim: Double = 0.5,
+      sim: String = "jaccard"): DataFrame = {
+    val newVsAll = scoredPairsSetSimBlocked(
+      leftNew, rightOld.unionByName(rightNew), cfg, idCol, textCol, minSim, sim)
+    val oldVsNew = scoredPairsSetSimBlocked(
+      leftOld, rightNew, cfg, idCol, textCol, minSim, sim)
+    rankTopKDistinct(
+      priorMatches.select(col("left_id"), col("right_id"), col("score"))
+        .unionByName(newVsAll)
+        .unionByName(oldVsNew),
+      cfg.topk)
+  }
+
   /** [[scoredPairsSetSimBlocked]] + the standard distinct top-k
     * ranking (the J29 candidate set is already DISTINCT; the shared
     * ranking keeps replay/composite composition uniform). */

@@ -49,6 +49,31 @@ class SetSimMatchSpec extends SparkSpec {
     assert(a.toSeq == e.toSeq)
   }
 
+  test("incremental set-sim match equals full match (incl. replayed increment)") {
+    val df = conv(sf0001)
+    val left = df.filter(col("variant") === 0)
+    val right = df.filter(col("variant") > 0)
+    val full = Matcher.matchPairsSetSimBlocked(
+      left, right, cfg, idCol = "conv_id", textCol = "text_norm", minSim = minSim).cache()
+    val isOld = expr("CAST(regexp_extract(conv_id, 'c([0-9]+)_', 1) AS BIGINT) % 2 = 0")
+    val prior = Matcher.matchPairsSetSimBlocked(
+      left.filter(isOld), right.filter(isOld), cfg,
+      idCol = "conv_id", textCol = "text_norm", minSim = minSim)
+    val incr = Matcher.matchPairsIncrementalSetSim(
+      left.filter(isOld), left.filter(not(isOld)),
+      right.filter(isOld), right.filter(not(isOld)),
+      prior, cfg, idCol = "conv_id", textCol = "text_norm", minSim = minSim)
+    assert(full.exceptAll(incr).count() == 0 && incr.exceptAll(full).count() == 0)
+    // at-least-once replay: old rows re-delivered in the new batch
+    val replayed = Matcher.matchPairsIncrementalSetSim(
+      left.filter(isOld), left.filter(not(isOld)),
+      right.filter(isOld),
+      right.filter(not(isOld)).unionByName(right.filter(isOld).limit(20)),
+      prior, cfg, idCol = "conv_id", textCol = "text_norm", minSim = minSim)
+    assert(full.exceptAll(replayed).count() == 0 &&
+      replayed.exceptAll(full).count() == 0)
+  }
+
   test("partitioning invariance") {
     val df = conv(sf0001)
     def run(n: Int) = Matcher.matchPairsSetSimBlocked(
