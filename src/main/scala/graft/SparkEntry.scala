@@ -346,6 +346,57 @@ object SparkEntry {
       addrCfg.copy(blockBy = "phonetic"), idCol = "id",
       textCol = "address_norm", hasGeo = true)
 
+  /** Single-table dedup linkage (D4): the matcher run against ITSELF
+    * over the address right corpus (which holds the r-/s-variants of
+    * every entity) — all intra-table blocked pairs scored once,
+    * `left_id < right_id` excluding self-pairs and collapsing the
+    * symmetric duplicate, then the standard top-k. The classic
+    * "dedupe one dirty table" shape, sharing every cfg knob with the
+    * two-sided match. */
+  def addrSelfMatch(s: SparkSession, dir: String): DataFrame = {
+    val df = addrNorm(AddressFixture.rightAll(s, dir))
+    Matcher.rankTopKDistinct(
+      Matcher.scoredPairs(df, df, addrCfg,
+        idCol = "id", textCol = "address_norm", hasGeo = true)
+        .filter(col("left_id") < col("right_id")),
+      addrCfg.topk)
+  }
+
+  /** A17 threshold sweep: candidate-level precision/recall/F1 of the
+    * jw match chain at every threshold on a fixed 50..95 grid, from
+    * ONE scoring pass — the calibration curve behind picking
+    * `MatchConfig.threshold`. The scored candidate set is reduced to a
+    * tiny (score, gold) histogram first; the grid join and all metric
+    * arithmetic run on histogram-sized data (a broadcast
+    * nested-loop over ~10 × distinct-scores rows), so the sweep costs
+    * one block-join scoring pass regardless of grid size. */
+  def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val conv = convNorm(s, dir).cache()
+    val cfg = MatchConfig.reference.copy(scorer = "jaro_winkler", threshold = 0.0)
+    val scored = Matcher.scoredPairs(
+      conv.filter(col("variant") === 0), conv.filter(col("variant") > 0),
+      cfg, idCol = "conv_id", textCol = "text_norm")
+    val g = (regexp_extract(col("left_id"), "c([0-9]+)_", 1).cast("bigint") ===
+      regexp_extract(col("right_id"), "c([0-9]+)_", 1).cast("bigint")).cast("int")
+    val hist = scored.withColumn("g", g)
+      .groupBy("score", "g").agg(count(lit(1)).as("cnt"))
+    val nLeft = conv.filter(col("variant") === 0).count()
+    val grid = s.range(0, 10)
+      .select((lit(50.0) + col("id").cast("double") * lit(5.0)).as("t"))
+    grid.join(broadcast(hist), col("score") >= col("t"), "left")
+      .groupBy("t")
+      .agg(
+        coalesce(sum(when(col("g") === 1, col("cnt"))), lit(0L)).as("tp"),
+        coalesce(sum(when(col("g") === 0, col("cnt"))), lit(0L)).as("fp"))
+      .withColumn("fn", lit(2L * nLeft) - col("tp"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))))
+      .withColumn("recall", col("tp").cast("double") / (col("tp") + col("fn")))
+      .withColumn("f1",
+        lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")))
+  }
+
   /** Clusters: transitive closure (large-star/small-star CC) over the
     * accepted address pairs — the north-rule stage. */
   def addrClusters(s: SparkSession, dir: String): DataFrame =
@@ -386,6 +437,38 @@ object SparkEntry {
        |                 / (CAST(0.8 AS DOUBLE) + CAST(0.15 AS DOUBLE) + CAST(0.05 AS DOUBLE)),
        |                 2) AS score
        |    FROM lb l JOIN rb r ON l.block_key = r.block_key
+       |  ),
+       |  ranked AS (
+       |    SELECT *, row_number() OVER (PARTITION BY left_id
+       |                                 ORDER BY score DESC, right_id ASC) AS rn
+       |    FROM scored WHERE score >= 75.0
+       |  )
+       |  SELECT left_id, right_id, score FROM ranked WHERE rn <= 3
+       |""".stripMargin
+  }
+
+  /** DuckDB mirror of [[addrSelfMatch]]: the full-match SQL with BOTH
+    * sides the right corpus and the `l.id < r.id` canonical pair
+    * order (bytewise string comparison agrees between engines). */
+  private def addrSelfMatchBody: String = {
+    val normL = Normalizer.normalizeAddressSqlDuck("address")
+    val bk = BlockKeys.digitsPrefixKeySqlDuck("t", 6)
+    val lev = Scores.levRatioSqlDuck("l.t", "r.t")
+    val ds = Scores.digitsScoreSqlDuck("l.t", "r.t")
+    val hav = Scores.haversineKmSqlDuck("l.lat", "l.lon", "r.lat", "r.lon")
+    val geo = Scores.geoScoreKmSqlDuck(hav, 1.5)
+    s"""
+       |  WITH sn0 AS (SELECT id, $normL AS t, lat, lon FROM addr_right),
+       |  sb AS (SELECT *, $bk AS block_key FROM sn0),
+       |  scored AS (
+       |    SELECT l.id AS left_id, r.id AS right_id,
+       |           round(($lev * CAST(0.8 AS DOUBLE)
+       |                  + $ds * CAST(0.15 AS DOUBLE)
+       |                  + $geo * CAST(0.05 AS DOUBLE))
+       |                 / (CAST(0.8 AS DOUBLE) + CAST(0.15 AS DOUBLE) + CAST(0.05 AS DOUBLE)),
+       |                 2) AS score
+       |    FROM sb l JOIN sb r ON l.block_key = r.block_key
+       |    WHERE l.id < r.id
        |  ),
        |  ranked AS (
        |    SELECT *, row_number() OVER (PARTITION BY left_id
@@ -869,6 +952,12 @@ object SparkEntry {
     // J36 phonetic (Soundex) blocking: same scorer chain, sound-alike
     // block key.
     "a_match_phon" -> ((s, dir) => addrMatchPhonetic(s, dir)),
+    // D4 single-table dedup linkage: the matcher against itself,
+    // left_id < right_id canonicalizing each unordered pair.
+    "a_selfmatch" -> ((s, dir) => addrSelfMatch(s, dir)),
+    // A17 threshold sweep: candidate-level P/R/F1 across the 50..95
+    // grid from one scoring pass (histogram-sized metric arithmetic).
+    "e_threshold_sweep" -> ((s, dir) => thresholdSweep(s, dir)),
     // J27 Fellegi-Sunter: EM-learned (λ, m, u) over quantized
     // responsibilities (integer-exact aggregates → oracle-hashable) and
     // the posterior-thresholded match set under the learned model.
@@ -1147,6 +1236,33 @@ object SparkEntry {
       s"SELECT * FROM (${addrMatchBodyWith(Scores.dlRatioSqlDuck("l.t", "r.t"))})"),
     "a_match_phon" -> withAddrCtes(
       s"SELECT * FROM (${addrMatchBodyWith(Scores.levRatioSqlDuck("l.t", "r.t"), BlockKeys.phoneticKeySqlDuck("t"))})"),
+    "a_selfmatch" -> withAddrCtes(s"SELECT * FROM ($addrSelfMatchBody)"),
+    "e_threshold_sweep" -> withCtes(
+      s"""
+         |, $matchJwChainCtes
+         |, swh AS (
+         |  SELECT score,
+         |         CASE WHEN CAST(regexp_extract(left_id, 'c([0-9]+)_', 1) AS BIGINT)
+         |                 = CAST(regexp_extract(right_id, 'c([0-9]+)_', 1) AS BIGINT)
+         |              THEN 1 ELSE 0 END AS g,
+         |         count(*) AS cnt
+         |  FROM scored GROUP BY 1, 2),
+         |swt AS (SELECT CAST(50.0 AS DOUBLE) + CAST(5.0 AS DOUBLE) * CAST(x AS DOUBLE) AS t
+         |        FROM generate_series(0, 9) AS s(x)),
+         |swa AS (
+         |  SELECT t,
+         |         CAST(sum(CASE WHEN g = 1 THEN cnt ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN g = 0 THEN cnt ELSE 0 END) AS BIGINT) AS fp
+         |  FROM swt LEFT JOIN swh ON swh.score >= swt.t
+         |  GROUP BY t),
+         |n AS (SELECT count(*) AS n_left FROM conv_norm WHERE variant = 0)
+         |SELECT t, tp, fp, n_left * 2 - tp AS fn,
+         |       CASE WHEN tp + fp = 0 THEN CAST(0.0 AS DOUBLE)
+         |            ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+         |       CAST(tp AS DOUBLE) / (tp + (n_left * 2 - tp)) AS recall,
+         |       2.0::DOUBLE * tp / (2.0::DOUBLE * tp + fp + (n_left * 2 - tp)) AS f1
+         |FROM swa, n
+         |""".stripMargin),
     "fs_em_params" -> withAddrCtes(
       s", $fsGamCte ${FellegiSunter.emChainSqlDuck(fsCfg)} " +
         FellegiSunter.emParamsSelectSqlDuck(fsCfg)),
