@@ -755,6 +755,22 @@ object SparkEntry {
         .select("left_id", "right_id")
       Matcher.blockingQuality(l.select("left_id"), r.select("right_id"), cand, truth)
     }),
+    // The same generator-evaluation statistics over the PHONETIC key
+    // (J36): quantifies the sound-alike generator's reduction ratio /
+    // recall ceiling / precision against entity truth, comparable
+    // side by side with the reference digits+prefix6 row above.
+    "e_blocking_quality_ph" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      val key = graft.blocking.BlockKeys.blockKey(col("text_norm"), "phonetic")
+      val l = conv.filter(col("variant") === 0)
+        .select(col("conv_id").as("left_id"), key.as("bk"), col("entity_id").as("le"))
+      val r = conv.filter(col("variant") > 0)
+        .select(col("conv_id").as("right_id"), key.as("bk"), col("entity_id").as("re"))
+      val cand = l.join(r, "bk").select("left_id", "right_id")
+      val truth = l.join(r, col("le") === col("re"))
+        .select("left_id", "right_id")
+      Matcher.blockingQuality(l.select("left_id"), r.select("right_id"), cand, truth)
+    }),
     // Sorted-neighborhood (merge/purge) candidate generation: the
     // position-driven generator whose candidate volume is exactly
     // (window-1)*N regardless of value skew.
@@ -1614,6 +1630,31 @@ object SparkEntry {
       Seq(graft.blocking.BlockKeys.phoneticKeySqlDuck("t"))),
     "e_blocking_quality" -> withCtes {
       val bk = BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)
+      s"""
+         |, sides AS (SELECT conv_id, variant, entity_id, $bk AS bk FROM conv_norm)
+         |, l AS (SELECT conv_id AS left_id, bk, entity_id FROM sides WHERE variant = 0)
+         |, r AS (SELECT conv_id AS right_id, bk, entity_id FROM sides WHERE variant > 0)
+         |, cand AS (SELECT DISTINCT left_id, right_id FROM l JOIN r USING (bk))
+         |, truth AS (SELECT DISTINCT left_id, right_id
+         |            FROM l JOIN r ON l.entity_id = r.entity_id)
+         |, agg AS (
+         |  SELECT (SELECT count(*) FROM l) AS n_left,
+         |         (SELECT count(*) FROM r) AS n_right,
+         |         (SELECT count(*) FROM cand) AS n_cand,
+         |         (SELECT count(*) FROM truth) AS n_true,
+         |         (SELECT count(*)
+         |          FROM (SELECT * FROM truth INTERSECT SELECT * FROM cand)) AS n_true_cand
+         |)
+         |SELECT n_cand,
+         |       round(1.0::DOUBLE - n_cand::DOUBLE
+         |             / (n_left::DOUBLE * n_right::DOUBLE), 6) AS reduction_ratio,
+         |       round(n_true_cand::DOUBLE / n_true::DOUBLE, 6) AS pairs_completeness,
+         |       round(n_true_cand::DOUBLE / n_cand::DOUBLE, 6) AS pairs_quality
+         |FROM agg
+         |""".stripMargin
+    },
+    "e_blocking_quality_ph" -> withCtes {
+      val bk = BlockKeys.phoneticKeySqlDuck("text_norm")
       s"""
          |, sides AS (SELECT conv_id, variant, entity_id, $bk AS bk FROM conv_norm)
          |, l AS (SELECT conv_id AS left_id, bk, entity_id FROM sides WHERE variant = 0)
