@@ -204,6 +204,54 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** DuckDB mirror of the FULL composite (`m_match_comp3`): the
+    * three candidate legs UNION-ALL'd then DISTINCT'd, scored once by
+    * the shared chain. */
+  private def matchComposite3Oracle: String = withCtes {
+    val bandsCte = graft.dedup.Dedup.minhashBandsSqlDuck(
+      "conv_norm", "conv_id", "text_norm", Seq("variant"),
+      k = 5, numHashes = 16, bands = 4)
+    val bk = BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)
+    val ds = graft.similarity.Scores.digitsScoreSqlDuck("lt", "rt")
+    s"""
+       |, $bandsCte
+       |, sides AS (SELECT conv_id, variant, text_norm, $bk AS block_key FROM conv_norm)
+       |, ln AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant = 0)
+       |, rn AS (SELECT conv_id AS id, text_norm AS t FROM conv_norm WHERE variant > 0)
+       |, ${graft.blocking.SetSimJoin.simJoinCteSqlDuck(0.5, "jaccard", "sspairs")}
+       |, cand AS (
+       |  SELECT DISTINCT left_id, right_id, lt, rt FROM (
+       |    SELECT l.conv_id AS left_id, r.conv_id AS right_id,
+       |           l.text_norm AS lt, r.text_norm AS rt
+       |    FROM sides l JOIN sides r ON l.block_key = r.block_key
+       |    WHERE l.variant = 0 AND r.variant > 0
+       |    UNION ALL
+       |    SELECT l.conv_id, r.conv_id, l.text_norm, r.text_norm
+       |    FROM mb_bands l JOIN mb_bands r ON l.band = r.band
+       |    WHERE l.variant = 0 AND r.variant > 0
+       |    UNION ALL
+       |    SELECT p.left_id, p.right_id, l.t, r.t
+       |    FROM sspairs p
+       |    JOIN ln l ON p.left_id = l.id
+       |    JOIN rn r ON p.right_id = r.id
+       |  )
+       |)
+       |, scored AS (
+       |  SELECT left_id, right_id,
+       |         round((jaro_winkler_similarity(lt, rt) * 100.0 * 0.8::DOUBLE
+       |                + $ds::DOUBLE * 0.15::DOUBLE)
+       |               / (0.8::DOUBLE + 0.15::DOUBLE), 2) AS score
+       |  FROM cand
+       |)
+       |, ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY left_id
+       |                               ORDER BY score DESC, right_id ASC) AS rn
+       |  FROM scored WHERE score >= 60.0
+       |)
+       |SELECT left_id, right_id, score FROM ranked WHERE rn <= 3
+       |""".stripMargin
+  }
+
   /** DuckDB mirror of the sorted-neighborhood match (`m_match_sn` /
     * `m_match_sn_mp`): per sort key, one total order over the unioned
     * sides — (key, text, side, id) is a unique key, so `row_number` is
@@ -685,6 +733,17 @@ object SparkEntry {
         conv.filter(col("variant") > 0),
         MatchConfig.reference.copy(scorer = "jaro_winkler"),
         idCol = "conv_id", textCol = "text_norm", minSim = 0.5)
+    }),
+    // FULL composite: block key ∪ LSH bands ∪ exact set-sim join in
+    // one ranking — the engine's highest-recall candidate set (the
+    // three families fail independently).
+    "m_match_comp3" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      Matcher.matchPairsCompositeFull(
+        conv.filter(col("variant") === 0),
+        conv.filter(col("variant") > 0),
+        MatchConfig.reference.copy(scorer = "jaro_winkler"),
+        idCol = "conv_id", textCol = "text_norm")
     }),
     // Incremental fold over the set-sim generator — candidacy is
     // per-pair (exact sim >= minSim), so incremental == full; oracle
@@ -1679,6 +1738,7 @@ object SparkEntry {
          |""".stripMargin
     },
     "m_match_comp" -> matchCompositeOracle,
+    "m_match_comp3" -> matchComposite3Oracle,
     // incremental composite fold is provably = the full composite
     // match, so the oracle is the full-match SQL verbatim
     "m_match_comp_incr" -> matchCompositeOracle,

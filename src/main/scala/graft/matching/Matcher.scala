@@ -830,6 +830,38 @@ object Matcher {
       cand.join(l, "left_id").join(r, "right_id"), cfg, preTok, scorer)
   }
 
+  /** FULL composite candidate generation — all three value-driven
+    * generator families in one ranking: derived block key
+    * ([[scoredPairs]]) ∪ MinHash-LSH bands ([[scoredPairsLshBlocked]])
+    * ∪ the exact set-similarity join ([[scoredPairsSetSimBlocked]]).
+    * The families fail independently (head edits beat prefix keys,
+    * band misses are probabilistic, sub-minSim token overlap evades
+    * the set join), so their union is the engine's highest-recall
+    * candidate set; pairs surfaced by several generators carry the
+    * SAME deterministic score and collapse to one top-k slot in
+    * [[rankTopKDistinct]] — no cross-generator dedup shuffle, the
+    * [[matchPairsComposite]] argument verbatim. Text corpora only
+    * (hasGeo stays false on every leg). */
+  def matchPairsCompositeFull(
+      left: DataFrame,
+      right: DataFrame,
+      cfg: MatchConfig,
+      idCol: String = "id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleMode: String = "char",
+      minSim: Double = 0.5,
+      sim: String = "jaccard"): DataFrame =
+    rankTopKDistinct(
+      scoredPairs(left, right, cfg, idCol, textCol, hasGeo = false)
+        .unionByName(scoredPairsLshBlocked(
+          left, right, cfg, idCol, textCol, shingleK, numHashes, bands, shingleMode))
+        .unionByName(scoredPairsSetSimBlocked(
+          left, right, cfg, idCol, textCol, minSim, sim)),
+      cfg.topk)
+
   /** [[matchPairsIncremental]] over the set-sim generator — unlike
     * sorted neighborhood, candidacy here IS per-pair: the generator's
     * OUTPUT is exactly {(l, r) : sim(tokens_l, tokens_r) ≥ minSim}

@@ -74,6 +74,30 @@ class SetSimMatchSpec extends SparkSpec {
       replayed.exceptAll(full).count() == 0)
   }
 
+  test("full composite: per-left best score dominates every single generator") {
+    val df = conv(sf0001)
+    val left = df.filter(col("variant") === 0)
+    val right = df.filter(col("variant") > 0)
+    def best(m: org.apache.spark.sql.DataFrame) =
+      m.groupBy("left_id").agg(max("score").as("s"))
+    val comp3 = best(Matcher.matchPairsCompositeFull(
+      left, right, cfg, idCol = "conv_id", textCol = "text_norm")).cache()
+    val singles = Seq(
+      Matcher.matchPairs(left, right, cfg, idCol = "conv_id", textCol = "text_norm"),
+      Matcher.matchPairsLshBlocked(left, right, cfg, idCol = "conv_id", textCol = "text_norm"),
+      Matcher.matchPairsSetSimBlocked(left, right, cfg,
+        idCol = "conv_id", textCol = "text_norm", minSim = minSim))
+    // the composite ranks over a candidate SUPERSET of each generator,
+    // so per left_id its best score can never be lower
+    singles.foreach { m =>
+      val worse = best(m).withColumnRenamed("s", "s1")
+        .join(comp3, "left_id")
+        .filter(col("s1") > col("s")).count()
+      assert(worse == 0)
+    }
+    comp3.unpersist()
+  }
+
   test("partitioning invariance") {
     val df = conv(sf0001)
     def run(n: Int) = Matcher.matchPairsSetSimBlocked(
