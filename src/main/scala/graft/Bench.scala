@@ -23,11 +23,23 @@ import org.apache.spark.sql.functions._
   *     budget; further attempts (min-of-2/3 runs) refine it while the
   *     budget allows.
   *
-  * PHASE ORDER (budget priority, the r03 lesson): suite → one shared
-  * corpus prep → QUICK throughput (1-2 runs) → scaling attempts (with
-  * an R=8 then R=4 slow-host/last-chance fallback ladder) → min-of-3
-  * throughput refinement only if >1200 s remain. r03 ran throughput
-  * first with min-of-3 + its own prep (849 s) and scaling starved.
+  * PHASE ORDER (budget priority — the r03 AND r04 lessons): one shared
+  * corpus prep → QUICK throughput (1-2 runs) → scaling attempts (R=8
+  * slow-host floor) → min-of-3 throughput refinement if >1200 s remain
+  * → the query suite LAST. Scaling is the north-rule acceptance gate
+  * and the suite is informational, so scaling now starts with the
+  * whole budget (~2000 s) instead of whatever a slow-window suite
+  * leaves over (r04: the suite + warmup consumed ~980 s of 2100 before
+  * the first attempt; suite queries that miss the budget emit the -2
+  * sentinel and a "suite_truncated_budget" note instead).
+  *
+  * LEG TIMING is WORK-ONLY (r04 lesson #2): every leg — child JVM or
+  * in-process — runs an untimed small-subset warmup of the exact job
+  * first, so JVM/JIT/codegen cold-start never lands in a measured run
+  * even at runs=1, and the corpus read + cache materialization are
+  * outside the clock as ever. The child contract line reports both
+  * `sec` (work) and `wall` (whole child lifetime) so the overhead is
+  * disclosed, and efficiency is computed from work seconds only.
   *
   * DEADLINE DESIGN (the round-1/2 failure mode was a bench that never
   * printed): the whole run answers to a hard wall-clock budget,
@@ -340,13 +352,12 @@ object Bench {
     finally { lhs.unpersist(); rhs.unpersist() }
   }
 
+  /** Suite order is CHEAP-FIRST (asof 0.2s … transcripts ~12s clean):
+    * the suite now runs after the scaling phase, so on a slow-host
+    * window a truncated suite should land the most queries before the
+    * -2 sentinels start — the two heavy tail entries were 58% of the
+    * r04 suite on the degraded driver window. */
   private def queriesFor(s: SparkSession, dir: String): Seq[(String, () => Long)] = Seq(
-    "match_transcripts_tsr" -> (() => transcriptMatch(s, dir)),
-    "match_addr_lev" -> (() => addrMatchSalted(s, dir)),
-    "clusters_cc" -> (() => addrMatchSalted(s, dir,
-      m => ConnectedComponents.run(m, "left_id", "right_id").count())),
-    "minhash_dedup" -> (() => ExtraQueries.queries("d_minhash_pairs")(s, dir).count()),
-    "ann_brute" -> (() => ExtraQueries.queries("v_ann_brute")(s, dir).count()),
     // round-4 temporal operators over the events stream — linear-cost
     // window formulations, so they add ~1-2s to the suite while putting
     // their throughput on the driver record
@@ -364,6 +375,12 @@ object Bench {
       graft.sessions.Sessionize.sessionStats(
         graft.sessions.Sessionize.assignSessions(
           s.read.parquet(s"$dir/events.parquet"), gapSeconds = 43200L)).count()),
+    "ann_brute" -> (() => ExtraQueries.queries("v_ann_brute")(s, dir).count()),
+    "minhash_dedup" -> (() => ExtraQueries.queries("d_minhash_pairs")(s, dir).count()),
+    "match_addr_lev" -> (() => addrMatchSalted(s, dir)),
+    "clusters_cc" -> (() => addrMatchSalted(s, dir,
+      m => ConnectedComponents.run(m, "left_id", "right_id").count())),
+    "match_transcripts_tsr" -> (() => transcriptMatch(s, dir)),
     // round-4 exact set-similarity family representative: the
     // absolute-overlap join exercises the whole prefix-filter frame
     // (df agg, per-record rank, rare-key equi-join, positional filter,
@@ -485,6 +502,16 @@ object Bench {
       saltBuckets = 8, knownHotKeys = Some(hot))
     def job(): Long = Matcher.matchPairs(lhs, rhs, cfg,
       idCol = "conv_id", textCol = "text_norm").count()
+    // WORK-ONLY timing: an untimed small-subset pass through the exact
+    // job first (same cfg, same plan shape) warms JIT + Janino codegen
+    // + shuffle machinery, so even a runs=1 leg measures the engine,
+    // not the JVM cold-start — the r04 driver window's small-R legs
+    // were otherwise startup-dominated and could only report overhead
+    // ratios. Failures here are ignored: the warmup is an optimization
+    // of the measurement, never a gate on it.
+    try Matcher.matchPairs(lhs.limit(400), rhs.limit(1200), cfg,
+      idCol = "conv_id", textCol = "text_norm").count()
+    catch { case _: Exception => () }
     val sec = (0 until math.max(1, runs)).map(_ => time(job())._2).min
     conv.unpersist()
     sec
@@ -667,10 +694,11 @@ object Bench {
     // from every measurement, scaled on R switches, inflated on timeout
     val est = scala.collection.mutable.Map(4 -> 65.0, 16 -> 25.0)
     def legTimeout: Long = math.max(60L, math.min(360L, remainingSec.toLong - 45L))
-    /** Largest runs ≤ desired whose estimated cost (1.3× slack + 40s
-      * child startup) fits the leg timeout; 0 = not even one fits. */
+    /** Largest runs ≤ desired whose estimated cost (1.3× slack + 55s
+      * child startup incl. the in-leg warmup) fits the leg timeout;
+      * 0 = not even one fits. */
     def fitRuns(cores: Int, desired: Int): Int =
-      (desired to 1 by -1).find(k => k * est(cores) * 1.3 + 40 <= legTimeout)
+      (desired to 1 by -1).find(k => k * est(cores) * 1.3 + 55 <= legTimeout)
         .getOrElse(0)
     def leg(cores: Int, runs: Int): Option[Double] = {
       if (remainingSec < 105) return None // not even a minimal leg fits
@@ -699,20 +727,21 @@ object Bench {
     var attempt = 0
     var done = false
     while (!done && attempt < maxAttempts && remainingSec > 150) {
-      // slow-host fallback ladder: halve the corpus while the 4-core
-      // leg is measured (or estimated, after a timeout) at > 150 s/run
-      // — R=16 → 8 → 4. Fixed per-job costs cap efficiency LOW on a
-      // fast host at small R, but are a small share of a slow host's
-      // inflated legs, so the smaller job loses little fidelity and
-      // fits more attempts. The R=4 rung (~9M pairs, clean legs
-      // ~30 s/8 s, ~2 min even 4×-slow) is also taken as a LAST-CHANCE
-      // micro-attempt when the budget is nearly gone with nothing
-      // measured yet: some efficiency number must land every run.
+      // slow-host fallback with a LEG-WORK FLOOR (the r04 lesson): halve
+      // the corpus to R=8 when the 4-core leg is measured (or estimated,
+      // after a timeout) at > 150 s/run — fixed per-job costs are a
+      // small share of a slow host's inflated legs, so the half-size job
+      // loses little fidelity and fits twice the attempts — but NEVER
+      // below R=8. The old R=4 rung carried so little work (~8-10 s of
+      // 16-core compute) that per-job fixed costs structurally capped
+      // its efficiency near 0.4: it could only ever emit overhead
+      // ratios (r04 attempt 3: 0.309), dragging the emitted median
+      // below band even when the engine was fine. On a throttled window
+      // the protocol now retries attempts at the SAME R (the attempt
+      // loop + plausibility filter) instead of descending into rungs
+      // that cannot evidence the target.
       if (!sys.env.contains("SPARK_GRAFT_R")) {
-        val wantR =
-          if (est(4) > 150 && r > 4) math.max(4, r / 2)
-          else if (state.attempts.isEmpty && remainingSec < 420 && r > 4) 4
-          else r
+        val wantR = if (est(4) > 150 && r > 8) 8 else r
         if (wantR != r && remainingSec > 220) {
           val shrink = math.pow(0.55, (math.log(r.toDouble / wantR) / math.log(2)).round.toDouble)
           r = wantR
@@ -794,7 +823,11 @@ object Bench {
       val sec = withSession(c.toInt)(legSeconds(_,
         sys.env("SPARK_GRAFT_MEASURE_CORPUS"),
         sys.env("SPARK_GRAFT_MEASURE_HOTKEYS"), runs))
-      println(f"""{"measure":{"cores":$c,"sec":$sec%.3f}}""")
+      // `sec` is WORK-ONLY (post-warmup min-of-runs inside legSeconds);
+      // `wall` is the whole child lifetime (JVM + session + corpus read
+      // + warmup + runs) so the excluded overhead is on the record. The
+      // parent computes efficiency from `sec`.
+      println(f"""{"measure":{"cores":$c,"sec":$sec%.3f,"wall":$elapsedSec%.1f}}""")
       System.out.flush()
       Runtime.getRuntime.halt(0)
     }
@@ -809,20 +842,36 @@ object Bench {
       emitAndHalt()
     }
 
-    // Phase 1+2: query suite, then headline throughput, in one session.
-    // Per-query budget guard: keep enough runway for throughput (~180s)
-    // + scaling (~420s) + emit margin.
+    // Phase 1: scaling evidence (the north-rule acceptance gate) FIRST,
+    // with essentially the whole budget — prep, quick 32-core
+    // throughput over the same prepped corpus, paired (N, 4N) attempts,
+    // then the min-of-3 throughput refinement if runway remains. In r04
+    // the suite ran first and a slow-host window left scaling only
+    // ~1100 s; the one unmet acceptance row gets the budget now.
+    if (scaling) {
+      try runScaling(dir) catch { case e: Exception =>
+        state.synchronized { state.notes += "scaling_failed" }
+        progress(s"scaling FAILED: ${e.getMessage}")
+      }
+    }
+
+    // Phase 2: the query suite — informational (oracle correctness is
+    // Verify's job; per-query seconds land on the driver record), so it
+    // runs on whatever the scaling phase left. Per-query guard keeps
+    // only the emit margin; a truncated suite reports -2 sentinels +
+    // a note rather than starving the gate above.
     withSession(cpus) { s =>
-      // gate well above the 660 s per-query guard: the warmup is an
-      // unbounded real job (~15 s clean, 45-90 s on documented slow-host
-      // windows) and must never eat the runway the suite itself needs
-      if (remainingSec > 960) {
+      // the scaling phase warmed the JVM-wide JIT/Janino caches, but
+      // this SESSION's first job still pays session-scoped warmup
+      // (~10-15 s clean) — cheap insurance for the suite's first query;
+      // skipped when the budget is tight
+      if (remainingSec > 400) {
         val (_, wsec) = time(try warmupSuite(s, dir) catch { case _: Exception => () })
         progress(f"warmup (untimed): $wsec%.1fs")
       }
       progress("suite start")
       queriesFor(s, dir).foreach { case (name, job) =>
-        if (remainingSec < 660) {
+        if (remainingSec < 150) {
           // -2 = skipped-for-budget sentinel: like failures (-1), the
           // query stays VISIBLE in "queries" and excluded from the
           // total — omitting it would make a truncated run parse as a
@@ -866,30 +915,21 @@ object Bench {
       }
     }
 
-    // Phase 3: quick throughput + scaling evidence (north rule) + min-of-3
-    // throughput refinement, in that budget-priority order — attempts
-    // append to state as they finish, so the watchdog can emit mid-phase.
-    if (scaling) {
-      try runScaling(dir) catch { case e: Exception =>
-        state.synchronized { state.notes += "scaling_failed" }
-        progress(s"scaling FAILED: ${e.getMessage}")
+    // Phase 3: the headline throughput must not be single-pointed on
+    // the scaling phase — the empty-throughput cases are mostly
+    // NON-throwing (quick probe skipped on a tight budget, or failed
+    // inside its own catch), so this fallback is gated only on the
+    // measurement actually missing.
+    if (scaling && state.synchronized(state.throughput.isEmpty) && remainingSec > 180)
+      try {
+        val (c, sec, rate) =
+          withSession(cpus)(matchThroughput(_, dir, warm = false, runs = 1))
+        state.synchronized { state.throughput = Some((c, sec, rate)) }
+        progress(f"throughput fallback: $c%d pairs in $sec%.1fs = $rate%.0f pairs/sec")
+      } catch { case e2: Exception =>
+        state.synchronized { state.notes += "throughput_failed" }
+        progress(s"throughput fallback FAILED: ${e2.getMessage}")
       }
-      // the headline throughput must not be single-pointed on the
-      // scaling phase — and the empty-throughput cases are mostly
-      // NON-throwing (quick probe skipped on a tight budget, or failed
-      // inside its own catch), so this runs after the try/catch, gated
-      // only on the measurement actually missing
-      if (state.synchronized(state.throughput.isEmpty) && remainingSec > 180)
-        try {
-          val (c, sec, rate) =
-            withSession(cpus)(matchThroughput(_, dir, warm = false, runs = 1))
-          state.synchronized { state.throughput = Some((c, sec, rate)) }
-          progress(f"throughput fallback: $c%d pairs in $sec%.1fs = $rate%.0f pairs/sec")
-        } catch { case e2: Exception =>
-          state.synchronized { state.notes += "throughput_failed" }
-          progress(s"throughput fallback FAILED: ${e2.getMessage}")
-        }
-    }
 
     progress("done, emitting")
     emitAndHalt()

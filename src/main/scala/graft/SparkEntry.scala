@@ -394,7 +394,7 @@ object SparkEntry {
       addrCfg.copy(blockBy = "phonetic"), idCol = "id",
       textCol = "address_norm", hasGeo = true)
 
-  /** Single-table dedup linkage (D4): the matcher run against ITSELF
+  /** Single-table dedup linkage (D10): the matcher run against ITSELF
     * over the address right corpus (which holds the r-/s-variants of
     * every entity) — all intra-table blocked pairs scored once,
     * `left_id < right_id` excluding self-pairs and collapsing the
@@ -428,7 +428,18 @@ object SparkEntry {
       regexp_extract(col("right_id"), "c([0-9]+)_", 1).cast("bigint")).cast("int")
     val hist = scored.withColumn("g", g)
       .groupBy("score", "g").agg(count(lit(1)).as("cnt"))
-    val nLeft = conv.filter(col("variant") === 0).count()
+    // gold-pair total derived from the DATA (Σ per-entity |left|·|right|),
+    // not from the fixture's variant count: on convNorm (1 left + 2
+    // right variants per entity) this equals 2·|left|, but the sweep is
+    // a reusable calibration tool — over a corpus with another variant
+    // layout (e.g. the 12-variant bench corpus) a hard-coded 2 would
+    // silently misstate fn/recall/F1.
+    val goldTotal = conv.filter(col("variant") === 0)
+      .groupBy("entity_id").agg(count(lit(1)).as("nl"))
+      .join(conv.filter(col("variant") > 0)
+        .groupBy("entity_id").agg(count(lit(1)).as("nr")), "entity_id")
+      .agg(coalesce(sum(col("nl") * col("nr")), lit(0L)).as("gold"))
+      .collect()(0).getLong(0)
     val grid = s.range(0, 10)
       .select((lit(50.0) + col("id").cast("double") * lit(5.0)).as("t"))
     grid.join(broadcast(hist), col("score") >= col("t"), "left")
@@ -436,7 +447,7 @@ object SparkEntry {
       .agg(
         coalesce(sum(when(col("g") === 1, col("cnt"))), lit(0L)).as("tp"),
         coalesce(sum(when(col("g") === 0, col("cnt"))), lit(0L)).as("fp"))
-      .withColumn("fn", lit(2L * nLeft) - col("tp"))
+      .withColumn("fn", lit(goldTotal) - col("tp"))
       .withColumn("precision",
         when(col("tp") + col("fp") === 0L, lit(0.0))
           .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))))
@@ -763,6 +774,27 @@ object SparkEntry {
         l.filter(isOld), l.filter(not(isOld)),
         r.filter(isOld), r.filter(not(isOld)),
         prior, cfgJw, idCol = "conv_id", textCol = "text_norm", minSim = 0.5)
+    }),
+    // Incremental fold over the FULL three-generator composite —
+    // block ∪ LSH ∪ set-sim candidacy is a union of per-pair
+    // predicates, so incremental == full and the oracle is the
+    // m_match_comp3 SQL verbatim (Matcher
+    // .matchPairsIncrementalCompositeFull scaladoc).
+    "m_match_comp3_incr" -> ((s, dir) => {
+      val conv = convNorm(s, dir).cache()
+      val cfgJw = MatchConfig.reference.copy(scorer = "jaro_winkler")
+      val isOld = coalesce(
+        expr("try_cast(regexp_extract(conv_id, 'c([0-9]+)_', 1) AS BIGINT) % 2 = 0"),
+        lit(false))
+      val l = conv.filter(col("variant") === 0)
+      val r = conv.filter(col("variant") > 0)
+      val prior = Matcher.matchPairsCompositeFull(
+        l.filter(isOld), r.filter(isOld), cfgJw,
+        idCol = "conv_id", textCol = "text_norm")
+      Matcher.matchPairsIncrementalCompositeFull(
+        l.filter(isOld), l.filter(not(isOld)),
+        r.filter(isOld), r.filter(not(isOld)),
+        prior, cfgJw, idCol = "conv_id", textCol = "text_norm")
     }),
     // Same LSH-banded match over TOKEN 2-grams (the north-star's
     // "token q-grams" shingle family; m_match_lsh is the char-5-gram
@@ -1330,12 +1362,15 @@ object SparkEntry {
          |         CAST(sum(CASE WHEN g = 0 THEN cnt ELSE 0 END) AS BIGINT) AS fp
          |  FROM swt LEFT JOIN swh ON swh.score >= swt.t
          |  GROUP BY t),
-         |n AS (SELECT count(*) AS n_left FROM conv_norm WHERE variant = 0)
-         |SELECT t, tp, fp, n_left * 2 - tp AS fn,
+         |n AS (SELECT CAST(COALESCE(sum(nl * nr), 0) AS BIGINT) AS gold FROM
+         |  (SELECT entity_id, count(*) AS nl FROM conv_norm WHERE variant = 0 GROUP BY 1) gl
+         |  JOIN (SELECT entity_id, count(*) AS nr FROM conv_norm WHERE variant > 0 GROUP BY 1) gr
+         |  USING (entity_id))
+         |SELECT t, tp, fp, gold - tp AS fn,
          |       CASE WHEN tp + fp = 0 THEN CAST(0.0 AS DOUBLE)
          |            ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
-         |       CAST(tp AS DOUBLE) / (tp + (n_left * 2 - tp)) AS recall,
-         |       2.0::DOUBLE * tp / (2.0::DOUBLE * tp + fp + (n_left * 2 - tp)) AS f1
+         |       CAST(tp AS DOUBLE) / (tp + (gold - tp)) AS recall,
+         |       2.0::DOUBLE * tp / (2.0::DOUBLE * tp + fp + (gold - tp)) AS f1
          |FROM swa, n
          |""".stripMargin),
     "fs_em_params" -> withAddrCtes(
@@ -1441,7 +1476,7 @@ object SparkEntry {
          |    SELECT id, $normL AS t FROM addr_left
          |    UNION ALL SELECT id, $normL AS t FROM addr_right) s
          |  JOIN cc c ON s.id = c.id),
-         |${graft.cluster.GoldenRecord.medoidSqlDuck}
+         |${graft.cluster.GoldenRecord.medoidSqlDuck()}
          |""".stripMargin
     },
     "a_match_index" -> withAddrCtes(
@@ -1739,6 +1774,9 @@ object SparkEntry {
     },
     "m_match_comp" -> matchCompositeOracle,
     "m_match_comp3" -> matchComposite3Oracle,
+    // incremental == full (per-pair candidacy union — see the queries
+    // entry), so the oracle is the full comp3 SQL verbatim
+    "m_match_comp3_incr" -> matchComposite3Oracle,
     // incremental composite fold is provably = the full composite
     // match, so the oracle is the full-match SQL verbatim
     "m_match_comp_incr" -> matchCompositeOracle,

@@ -239,8 +239,12 @@ object SetSimJoin {
       m.withColumn("revcum", sum(col("w") * col("w")).over(
           byRank.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
         .withColumn("nsq", sum(col("w") * col("w")).over(Window.partitionBy("id")))
+        // RELATIVE epsilon (Eps·nsq): squared norms reach ~scale²·|tokens|
+        // ≈ 1e13-1e15, where t²·nsq's double rounding is ~1e-1 — an
+        // absolute 1e-9 could over-prune an exact-boundary pair (see the
+        // weightedJaccardJoin prefix for the full argument)
         .filter(col("revcum").cast("double") >=
-          lit(t2) * col("nsq").cast("double") - lit(Eps))
+          lit(t2) * col("nsq").cast("double") - lit(Eps) * col("nsq").cast("double"))
         .select("id", "tok")
     }
     val cand = prefix(wl).select(col("id").as("left_id"), col("tok"))
@@ -310,17 +314,28 @@ object SetSimJoin {
       m.withColumn("revcum", sum(col("w")).over(
           byRank.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
         .withColumn("wsum", sum(col("w")).over(Window.partitionBy("id")))
+        // RELATIVE epsilon (Eps·wsum, not the bare Eps): weight masses
+        // reach ~scale·|tokens| ≈ 1e7-1e9, where the double rounding of
+        // t·wsum alone is ~1e-7 — LARGER than an absolute 1e-9 guard,
+        // so an exact-boundary pair could be over-pruned (a silent
+        // completeness violation both engines would share). Scaling the
+        // slack to the operand keeps it above rounding error (~1e-16
+        // relative) at every magnitude while staying below the 1-unit
+        // integer resolution of the mass grid.
         .filter(col("revcum").cast("double") >=
-          lit(threshold) * col("wsum").cast("double") - lit(Eps))
+          lit(threshold) * col("wsum").cast("double") -
+            lit(Eps) * col("wsum").cast("double"))
         .select("id", "tok", "wsum")
     }
     val cand = prefix(wl)
       .select(col("id").as("left_id"), col("tok"), col("wsum").as("wa"))
       .join(prefix(wr)
         .select(col("id").as("right_id"), col("tok"), col("wsum").as("wb")), Seq("tok"))
-      // weight-mass length filter — prune-only
-      .filter(col("wb").cast("double") >= lit(threshold) * col("wa") - lit(Eps) &&
-        col("wb").cast("double") <= col("wa").cast("double") / lit(threshold) + lit(Eps))
+      // weight-mass length filter — prune-only; same relative slack
+      .filter(col("wb").cast("double") >=
+        lit(threshold) * col("wa") - lit(Eps) * col("wa").cast("double") &&
+        col("wb").cast("double") <=
+          col("wa").cast("double") / lit(threshold) + lit(Eps) * col("wa").cast("double"))
       .select("left_id", "right_id").distinct()
     def masses(m: DataFrame, out: String) =
       m.groupBy(col("id").as(out)).agg(sum(col("w")).cast("long").as(out + "_wsum"))
@@ -395,12 +410,6 @@ object SetSimJoin {
   // DuckDB mirror
   // -------------------------------------------------------------------
 
-  /** Full mirror of [[simJoin]] from normalized sides `ln(id, t)` /
-    * `rn(id, t)`: CTE chain + final SELECT (left_id, right_id, score).
-    * Same arithmetic shape — exact-integer counts, the one double
-    * division/sqrt last — so results hash bit-for-bit. The prefix
-    * factor is computed HERE (same IEEE double as the Spark side) and
-    * inlined via its shortest-roundtrip literal. */
   /** Exact ABSOLUTE-overlap threshold join (J33): every cross-side
     * pair sharing at least `minOverlap` distinct tokens, with the
     * overlap count. The T-overlap join underlying Ed-Join-style gram
@@ -465,9 +474,15 @@ object SetSimJoin {
       .filter(col("overlap") >= c)
   }
 
-  /** [[simJoinSqlDuck]]'s chain ending as a CTE named `out` instead of
+  /** Full mirror of [[simJoin]] from normalized sides `ln(id, t)` /
+    * `rn(id, t)`, as a CTE chain ending in a CTE named `out` instead of
     * a final SELECT — lets downstream oracles (the J37 matcher
-    * generator) continue the WITH list from the thresholded pair set. */
+    * generator) continue the WITH list from the thresholded pair set;
+    * [[simJoinSqlDuck]] appends the final SELECT for standalone use.
+    * Same arithmetic shape as the Spark side — exact-integer counts,
+    * the one double division/sqrt last — so results hash bit-for-bit.
+    * The prefix factor is computed HERE (same IEEE double as the Spark
+    * side) and inlined via its shortest-roundtrip literal. */
   def simJoinCteSqlDuck(threshold: Double, sim: String, out: String): String = {
     val t = s"CAST($threshold AS DOUBLE)"
     val f = s"CAST(${prefixFactor(sim, threshold)} AS DOUBLE)"
@@ -533,7 +548,8 @@ object SetSimJoin {
          |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS revcum,
          |         sum(w*w) OVER (PARTITION BY id) AS nsq
          |  FROM $src)
-         |  WHERE CAST(revcum AS DOUBLE) >= $t2 * CAST(nsq AS DOUBLE) - 1e-9)""".stripMargin
+         |  WHERE CAST(revcum AS DOUBLE)
+         |    >= $t2 * CAST(nsq AS DOUBLE) - 1e-9 * CAST(nsq AS DOUBLE))""".stripMargin
     s"""wsl AS (SELECT DISTINCT id, tok FROM
        |  (SELECT id, unnest(string_split(t, ' ')) AS tok FROM ln) WHERE tok <> ''),
        |wsr AS (SELECT DISTINCT id, tok FROM
@@ -636,7 +652,8 @@ object SetSimJoin {
          |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS revcum,
          |         sum(w) OVER (PARTITION BY id) AS wsum
          |  FROM $src)
-         |  WHERE CAST(revcum AS DOUBLE) >= $t * CAST(wsum AS DOUBLE) - 1e-9)""".stripMargin
+         |  WHERE CAST(revcum AS DOUBLE)
+         |    >= $t * CAST(wsum AS DOUBLE) - 1e-9 * CAST(wsum AS DOUBLE))""".stripMargin
     s"""wjl AS (SELECT DISTINCT id, tok FROM
        |  (SELECT id, unnest(string_split(t, ' ')) AS tok FROM ln) WHERE tok <> ''),
        |wjr AS (SELECT DISTINCT id, tok FROM
@@ -650,8 +667,10 @@ object SetSimJoin {
        |${prefixCte("wjpr", "wjmr")},
        |wjcand AS (SELECT DISTINCT l.id AS left_id, r.id AS right_id
        |  FROM wjpl l JOIN wjpr r ON l.tok = r.tok
-       |  WHERE CAST(r.wsum AS DOUBLE) >= $t * l.wsum - 1e-9
-       |    AND CAST(r.wsum AS DOUBLE) <= CAST(l.wsum AS DOUBLE) / $t + 1e-9),
+       |  WHERE CAST(r.wsum AS DOUBLE)
+       |      >= $t * l.wsum - 1e-9 * CAST(l.wsum AS DOUBLE)
+       |    AND CAST(r.wsum AS DOUBLE)
+       |      <= CAST(l.wsum AS DOUBLE) / $t + 1e-9 * CAST(l.wsum AS DOUBLE)),
        |wjma AS (SELECT id, CAST(sum(w) AS BIGINT) AS wsum FROM wjml GROUP BY id),
        |wjmb AS (SELECT id, CAST(sum(w) AS BIGINT) AS wsum FROM wjmr GROUP BY id),
        |wjsh AS (SELECT c.left_id, c.right_id, CAST(sum(a.w) AS BIGINT) AS shared

@@ -77,54 +77,84 @@ object GoldenRecord {
     * scored pairs total, each through the codegen'd `levenshtein`.
     * That quadratic is intrinsic to exact medoids and fine at the
     * match-cluster scale this pipeline produces (clusters are entity
-    * groups, tens of members); for degenerate giant clusters cap with
-    * a member bound upstream or fall back to [[merge]]'s linear rules.
-    * Singletons never join (no partner rows) and re-enter with
-    * dist_sum 0 via the left join. Integer sums, lexicographic ties —
+    * groups, tens of members) — but transitive CC over a
+    * boilerplate-heavy corpus is exactly where a degenerate
+    * million-member cluster appears, and at 100× ONE such cluster is
+    * 10¹² levenshtein pairs inside a single key. The quadratic is
+    * therefore GUARDED: clusters with more than `maxMembers` members
+    * never enter the self-join — they surface with the deterministic
+    * min-id representative (the same stable handle [[merge]] elects),
+    * a NULL `dist_sum` (honest: the cohesion statistic was not
+    * computed) and `capped = true`, so downstream consumers can route
+    * them to [[merge]]'s linear rules or a sampled re-run. Singletons
+    * never join (no partner rows) and re-enter with dist_sum 0 via the
+    * left join. Integer sums, lexicographic ties —
     * partitioning-independent and DuckDB-hashable.
     *
-    * @return (component, medoid_id, dist_sum)
+    * @param maxMembers clusters above this size skip the quadratic
+    *                   (default 256 ⇒ ≤ ~65k pairs per cluster)
+    * @return (component, medoid_id, dist_sum, capped)
     */
   def medoid(
       records: DataFrame,
       assignments: DataFrame,
       idCol: String = "id",
       textCol: String = "text",
-      componentCol: String = "component"): DataFrame = {
+      componentCol: String = "component",
+      maxMembers: Int = 256): DataFrame = {
+    require(maxMembers >= 1, s"maxMembers must be >= 1, got $maxMembers")
     val rec = records.select(col(idCol).as("id"), col(textCol).as("t"))
       .join(assignments.select(col(idCol).as("id"), col(componentCol).as("component")),
         Seq("id"))
-    val sums = rec
-      .join(rec.select(col("component"), col("id").as("id2"), col("t").as("t2")),
+    val sizes = rec.groupBy("component")
+      .agg(count(lit(1)).as("n_mem"), min(col("id")).as("min_id"))
+    val recS = rec.join(
+      sizes.filter(col("n_mem") <= maxMembers).select("component"), Seq("component"))
+    val sums = recS
+      .join(recS.select(col("component"), col("id").as("id2"), col("t").as("t2")),
         Seq("component"))
       .filter(col("id") =!= col("id2"))
       .groupBy("component", "id")
       .agg(sum(levenshtein(col("t"), col("t2")).cast("bigint")).as("dist_sum"))
-    rec.select("component", "id")
+    val exact = recS.select("component", "id")
       .join(sums, Seq("component", "id"), "left")
       .withColumn("dist_sum", coalesce(col("dist_sum"), lit(0L)))
       .withColumn("rn", row_number().over(
         Window.partitionBy("component").orderBy(col("dist_sum").asc, col("id").asc)))
       .filter(col("rn") === 1)
-      .select(col("component"), col("id").as("medoid_id"), col("dist_sum"))
+      .select(col("component"), col("id").as("medoid_id"), col("dist_sum"),
+        lit(false).as("capped"))
+    val capped = sizes.filter(col("n_mem") > maxMembers)
+      .select(col("component"), col("min_id").as("medoid_id"),
+        lit(null).cast("long").as("dist_sum"), lit(true).as("capped"))
+    exact.unionByName(capped)
   }
 
   /** Mirror of [[medoid]]: expects `grec(component, id, t)` in scope,
     * like [[mergeSqlDuck]]. */
-  def medoidSqlDuck: String =
-    s"""md_pair AS (SELECT a.component, a.id,
+  def medoidSqlDuck(maxMembers: Int = 256): String =
+    s"""md_sz AS (SELECT component, count(*) AS n_mem, min(id) AS min_id
+       |  FROM grec GROUP BY component),
+       |md_rec AS (SELECT g.component, g.id, g.t FROM grec g JOIN md_sz z
+       |  ON g.component = z.component AND z.n_mem <= $maxMembers),
+       |md_pair AS (SELECT a.component, a.id,
        |    CAST(sum(levenshtein(a.t, b.t)) AS BIGINT) AS dist_sum
-       |  FROM grec a JOIN grec b
+       |  FROM md_rec a JOIN md_rec b
        |    ON a.component = b.component AND a.id <> b.id
        |  GROUP BY a.component, a.id),
        |md_all AS (SELECT g.component, g.id,
        |    COALESCE(p.dist_sum, CAST(0 AS BIGINT)) AS dist_sum
-       |  FROM grec g LEFT JOIN md_pair p
+       |  FROM md_rec g LEFT JOIN md_pair p
        |    ON g.component = p.component AND g.id = p.id)
-       |SELECT component, id AS medoid_id, dist_sum FROM (
-       |  SELECT component, id, dist_sum, row_number() OVER (
-       |    PARTITION BY component ORDER BY dist_sum ASC, id ASC) AS rn
-       |  FROM md_all) WHERE rn = 1""".stripMargin
+       |SELECT component, medoid_id, dist_sum, capped FROM (
+       |  SELECT component, id AS medoid_id, dist_sum, false AS capped FROM (
+       |    SELECT component, id, dist_sum, row_number() OVER (
+       |      PARTITION BY component ORDER BY dist_sum ASC, id ASC) AS rn
+       |    FROM md_all) WHERE rn = 1
+       |  UNION ALL
+       |  SELECT component, min_id AS medoid_id, CAST(NULL AS BIGINT) AS dist_sum,
+       |         true AS capped
+       |  FROM md_sz WHERE n_mem > $maxMembers)""".stripMargin
 
   /** Mirror of [[merge]]: expects a CTE `grec(component, id, t)` (the
     * already-joined member records) in scope; CTE chain + final SELECT

@@ -120,6 +120,42 @@ object FellegiSunter {
       Seq(col("left_id"), col("right_id")) ++ gammasFromScores(ts, ds, gs, cfg): _*)
   }
 
+  /** [[gammaPairs]] for TEXT-ONLY corpora (no geo, no digit field
+    * worth comparing — e.g. transcript documents, where digit runs are
+    * part of the mutated text and the run-equality field is constant
+    * 0): γ_t bins `scorer` as usual, γ_g stays level 0, and γ_d is
+    * re-purposed as the classic FS EXACT-AGREEMENT indicator — level 1
+    * iff the two token SETS are identical (`token_set_ratio == 100`).
+    * A one-field γ (γ_t alone) makes the two-class EM unidentifiable
+    * (2 observed degrees of freedom vs 5 free parameters — the fit
+    * drifts with the init); the exact-agreement field is informative
+    * precisely where the graded similarity saturates, which restores a
+    * near-deterministic anchor pattern for the M class. */
+  def gammaPairsText(
+      left: DataFrame,
+      right: DataFrame,
+      cfg: FsConfig,
+      blockBy: String,
+      scorer: (Column, Column) => Column,
+      idCol: String = "id",
+      textCol: String = "text"): DataFrame = {
+    def prepped(df: DataFrame, side: String): DataFrame =
+      df.withColumn("block_key", BlockKeys.blockKey(col(textCol), blockBy))
+        .select(col(idCol).as(s"${side}_id"), col(textCol).as(s"${side}_t"),
+          col("block_key"))
+    val parts = left.sparkSession.sessionState.conf.numShufflePartitions
+    val joined = prepped(left, "left").repartition(parts, col("block_key"))
+      .join(prepped(right, "right").repartition(parts, col("block_key")),
+        Seq("block_key"), "inner")
+    val ts = scorer(col("left_t"), col("right_t"))
+    val exact = graft.similarity.FuzzFunctions
+      .scorer("token_set_ratio")(col("left_t"), col("right_t"))
+    joined.select(
+      Seq(col("left_id"), col("right_id")) ++
+        gammasFromScores(ts, when(exact === 100.0, 100.0).otherwise(0.0),
+          lit(null).cast("double"), cfg): _*)
+  }
+
   /** Bin per-field 0-100 scores to agreement levels. Null geo (either
     * side missing coordinates) falls to level 0 — "no evidence" and
     * "disagree" share a level, the standard 3-level treatment. */

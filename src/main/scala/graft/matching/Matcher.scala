@@ -895,6 +895,49 @@ object Matcher {
       cfg.topk)
   }
 
+  /** [[matchPairsIncremental]] over the FULL three-generator composite
+    * ([[matchPairsCompositeFull]]) — closes the generator × incremental
+    * matrix. The proof composes exactly as
+    * [[matchPairsIncrementalComposite]]'s: candidacy is the union of
+    * THREE per-pair predicates (shared block key ∨ shared band ∨
+    * token-sim ≥ minSim — the set-sim leg's per-pair property argued in
+    * [[matchPairsIncrementalSetSim]]), so the subspace decomposition
+    * holds per generator, `priorMatches` (a full composite-full match
+    * of the old halves) summarizes old×old for all three at once, and
+    * cross-generator + replay repeats carry identical deterministic
+    * scores and collapse in [[rankTopKDistinct]]. Same leg-oriented
+    * bloom pregate flips on the block legs; text-only (hasGeo = false),
+    * matching the batch twin. */
+  def matchPairsIncrementalCompositeFull(
+      leftOld: DataFrame,
+      leftNew: DataFrame,
+      rightOld: DataFrame,
+      rightNew: DataFrame,
+      priorMatches: DataFrame,
+      cfg: MatchConfig,
+      idCol: String = "id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleMode: String = "char",
+      minSim: Double = 0.5,
+      sim: String = "jaccard"): DataFrame = {
+    val rightAll = rightOld.unionByName(rightNew)
+    def legs(l: DataFrame, r: DataFrame, pregate: String): DataFrame =
+      scoredPairs(l, r, cfg.copy(bloomPregateSide = pregate),
+        idCol, textCol, hasGeo = false)
+        .unionByName(scoredPairsLshBlocked(l, r, cfg, idCol, textCol,
+          shingleK, numHashes, bands, shingleMode))
+        .unionByName(scoredPairsSetSimBlocked(l, r, cfg, idCol, textCol,
+          minSim, sim))
+    rankTopKDistinct(
+      priorMatches.select(col("left_id"), col("right_id"), col("score"))
+        .unionByName(legs(leftNew, rightAll, "right"))
+        .unionByName(legs(leftOld, rightNew, "left")),
+      cfg.topk)
+  }
+
   /** [[scoredPairsSetSimBlocked]] + the standard distinct top-k
     * ranking (the J29 candidate set is already DISTINCT; the shared
     * ranking keeps replay/composite composition uniform). */

@@ -2,8 +2,9 @@ package graft.pipeline
 
 import graft.cluster.ConnectedComponents
 import graft.io.TableIO
-import graft.matching.{MatchConfig, Matcher}
+import graft.matching.{FellegiSunter, MatchConfig, Matcher}
 import graft.normalize.Normalizer
+import graft.similarity.FuzzFunctions
 import graft.transcripts.Transcripts
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -26,6 +27,22 @@ import org.apache.spark.sql.functions._
   * ([[MatchConfig.knownHotKeysDf]]) — the match stage then salts
   * exactly those keys with no in-query detection scan and no driver
   * round-trip anywhere in the path.
+  *
+  * `decision` picks how scored candidates become accepted matches:
+  *
+  *   - `"threshold"` (default) — the reference's hand-weighted combine
+  *     + fixed threshold/top-k ([[Matcher.matchPairs]]);
+  *   - `"fs"` — the LEARNED-weights path: per-pair comparison vectors
+  *     from the configured generator ([[FellegiSunter.gammaPairs]],
+  *     same block discipline and scorer as the threshold path),
+  *     unsupervised EM fit, the FS 1969 three-zone rule, LINK-zone
+  *     pairs as the matches table (posterior as score) and the
+  *     POSSIBLE-zone pairs committed as a `fs_review` snapshot — the
+  *     clerical-review queue a production linkage pipeline routes to
+  *     humans. Every step (`fs_gammas`, `fs_params`, `fs_zones`,
+  *     `fs_review`, `matches`) is its own committed, resumable stage,
+  *     so the learned path has the same restart/idempotence story as
+  *     the fixed-threshold one.
   */
 object Pipeline {
 
@@ -34,7 +51,8 @@ object Pipeline {
       stages: Seq[StageResult],
       matches: DataFrame,
       clusters: DataFrame,
-      golden: DataFrame)
+      golden: DataFrame,
+      review: Option[DataFrame] = None)
 
   /** The match-stage DataFrame exactly as [[run]] computes it: salted
     * with the committed hot-key statistic when the config salts and no
@@ -59,12 +77,22 @@ object Pipeline {
       sfDir: String,
       workRoot: String,
       cfg: MatchConfig = MatchConfig.reference,
-      variants: Int = 3): Result = {
+      variants: Int = 3,
+      decision: String = "threshold",
+      fsCfg: FellegiSunter.FsConfig = FellegiSunter.FsConfig(),
+      fsMu: Double = 0.01,
+      fsLambdaErr: Double = 0.01): Result = {
+    require(decision == "threshold" || decision == "fs",
+      s"decision must be 'threshold' or 'fs': '$decision'")
     val cfgHash = TableIO.lineageHash(Map(
       "scorer" -> cfg.scorer, "threshold" -> cfg.threshold.toString,
       "topk" -> cfg.topk.toString, "block" -> cfg.blockBy,
       "salt" -> cfg.saltBuckets.toString, "saltHot" -> cfg.saltHotPairs.toString,
-      "variants" -> variants.toString))
+      "variants" -> variants.toString, "decision" -> decision,
+      "fsIters" -> fsCfg.iters.toString, "fsMu" -> fsMu.toString,
+      "fsLambdaErr" -> fsLambdaErr.toString,
+      "fsBins" -> Seq(fsCfg.textLo, fsCfg.textHi, fsCfg.geoLo, fsCfg.geoHi)
+        .mkString(",")))
     def lineage(stage: String, extra: (String, String)*): Map[String, String] =
       Map("input" -> sfDir, "stage" -> stage, "config" -> cfgHash) ++ extra
 
@@ -82,28 +110,83 @@ object Pipeline {
           Normalizer.normalize(col("doc")).as("text_norm"))
     }
 
-    // normalize-commit-time statistic: hot block keys of THIS snapshot,
-    // as a snapshot table of their own (a DataFrame end to end — no
-    // collect in the production path). Only computed when the match
-    // stage will actually salt with it: on a non-salting config the
-    // two full-corpus histogram aggregations would be pure waste.
-    val needsHotKeys =
-      cfg.saltBuckets > 1 && cfg.knownHotKeys.isEmpty && cfg.knownHotKeysDf.isEmpty
-    val hotStage =
-      if (needsHotKeys)
-        Some(TableIO.resumeOrCompute(spark, workRoot, "hot_keys",
-          lineage("hot_keys")) {
-          Matcher.hotBlockKeysDf(
+    // ---- decision-specific stages: scored candidates → accepted matches
+    var review: Option[DataFrame] = None
+    val (preStages, matches, matchesResumed) =
+      if (decision == "fs") {
+        // learned-weights path: γ vectors from the SAME generator
+        // discipline as the threshold path (block join on cfg.blockBy,
+        // cfg.scorer as the graded text comparator, plus the
+        // exact-token-set-agreement field — gammaPairsText scaladoc on
+        // why a text-only corpus needs the second field for EM
+        // identifiability), then EM + the three-zone rule — each its
+        // own committed stage, so a restart resumes mid-chain (e.g.
+        // after fs_params) like any other stage
+        val (gammas, rg) = TableIO.resumeOrCompute(spark, workRoot, "fs_gammas",
+          lineage("fs_gammas")) {
+          FellegiSunter.gammaPairsText(
             convNorm.filter(col("variant") === 0),
             convNorm.filter(col("variant") > 0),
-            cfg, textCol = "text_norm")
-        })
-      else None
-
-    val (matches, r2) = TableIO.resumeOrCompute(spark, workRoot, "matches",
-      lineage("matches")) {
-      matchStageDf(convNorm, cfg, hotStage.map(_._1))
-    }
+            fsCfg, cfg.blockBy, FuzzFunctions.scorer(cfg.scorer),
+            idCol = "conv_id", textCol = "text_norm")
+        }
+        val (params, rp) = TableIO.resumeOrCompute(spark, workRoot, "fs_params",
+          lineage("fs_params")) {
+          FellegiSunter.emFit(FellegiSunter.gammaCounts(gammas), fsCfg)
+        }
+        val (zones, rz) = TableIO.resumeOrCompute(spark, workRoot, "fs_zones",
+          lineage("fs_zones")) {
+          FellegiSunter.decisionZones(
+            FellegiSunter.gammaCounts(gammas), params, fsMu, fsLambdaErr)
+        }
+        val (rev, rr) = TableIO.resumeOrCompute(spark, workRoot, "fs_review",
+          lineage("fs_review")) {
+          FellegiSunter.reviewQueue(gammas, zones)
+        }
+        review = Some(rev)
+        val (m, rm) = TableIO.resumeOrCompute(spark, workRoot, "matches",
+          lineage("matches")) {
+          // LINK-zone pairs with the learned posterior as the score —
+          // the same (left_id, right_id, score) shape the downstream
+          // CC/golden stages consume on the threshold path
+          FellegiSunter.matchPosteriors(gammas, params, threshold = 0.0)
+            .join(broadcast(zones.filter(col("zone") === "link")
+              .select("g_t", "g_d", "g_g")), Seq("g_t", "g_d", "g_g"))
+            .select(col("left_id"), col("right_id"),
+              col("posterior").as("score"))
+        }
+        (Seq(
+          StageResult("fs_gammas", gammas.count(), rg),
+          StageResult("fs_params", params.count(), rp),
+          StageResult("fs_zones", zones.count(), rz),
+          StageResult("fs_review", rev.count(), rr)), m, rm)
+      } else {
+        // normalize-commit-time statistic: hot block keys of THIS
+        // snapshot, as a snapshot table of their own (a DataFrame end
+        // to end — no collect in the production path). Only computed
+        // when the match stage will actually salt with it: on a
+        // non-salting config the two full-corpus histogram aggregations
+        // would be pure waste.
+        val needsHotKeys =
+          cfg.saltBuckets > 1 && cfg.knownHotKeys.isEmpty && cfg.knownHotKeysDf.isEmpty
+        val hotStage =
+          if (needsHotKeys)
+            Some(TableIO.resumeOrCompute(spark, workRoot, "hot_keys",
+              lineage("hot_keys")) {
+              Matcher.hotBlockKeysDf(
+                convNorm.filter(col("variant") === 0),
+                convNorm.filter(col("variant") > 0),
+                cfg, textCol = "text_norm")
+            })
+          else None
+        val (m, rm) = TableIO.resumeOrCompute(spark, workRoot, "matches",
+          lineage("matches")) {
+          matchStageDf(convNorm, cfg, hotStage.map(_._1))
+        }
+        (hotStage.map { case (df, resumed) =>
+          StageResult("hot_keys", df.count(), resumed)
+        }.toSeq, m, rm)
+      }
 
     // CC returns an eager localCheckpoint (vertex-sized, pinned in
     // executor storage for the session). The snapshot commit below is
@@ -132,13 +215,11 @@ object Pipeline {
 
     Result(
       Seq(StageResult("conv_norm", convNorm.count(), r1)) ++
-        hotStage.map { case (df, resumed) =>
-          StageResult("hot_keys", df.count(), resumed)
-        } ++
+        preStages ++
         Seq(
-          StageResult("matches", matches.count(), r2),
+          StageResult("matches", matches.count(), matchesResumed),
           StageResult("clusters", clusters.count(), r3),
           StageResult("golden", golden.count(), r4)),
-      matches, clusters, golden)
+      matches, clusters, golden, review)
   }
 }

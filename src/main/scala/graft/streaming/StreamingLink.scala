@@ -49,9 +49,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * dedup + CC idempotence), never double-counts.
   *
   * The candidate `generator` is pluggable — "block" (derived block
-  * key, J3), "lsh" (MinHash-LSH banding, J23) or "composite" (union,
-  * J24) — because the drain-equality proof only needs candidacy to be
-  * a per-pair property, which all three generators satisfy. */
+  * key, J3), "lsh" (MinHash-LSH banding, J23), "composite" (block ∪
+  * bands, J24), "setsim" (the exact prefix-filtered set-similarity
+  * join, J37 — the generator with the provable recall floor) or
+  * "composite_full" (all three families in one ranking, J24b — the
+  * engine's highest-recall candidate set) — because the drain-equality
+  * proof only needs candidacy to be a per-pair property, which every
+  * one of these generators satisfies (the set-sim leg's per-pair
+  * argument is in [[Matcher.matchPairsIncrementalSetSim]]'s scaladoc:
+  * global token frequencies steer which candidates are VERIFIED,
+  * never which pairs emerge). */
 object StreamingLink {
 
   /** Fold ONE micro-batch of right rows into the `matches` and
@@ -74,7 +81,9 @@ object StreamingLink {
       shingleK: Int = 5,
       numHashes: Int = 16,
       bands: Int = 4,
-      shingleMode: String = "char"): Unit = {
+      shingleMode: String = "char",
+      minSim: Double = 0.5,
+      simKind: String = "jaccard"): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     // The scored candidate set returns exactly (left_id, right_id,
@@ -107,8 +116,23 @@ object StreamingLink {
           idCol, textCol, hasGeo = false)
           .unionByName(Matcher.scoredPairsLshBlocked(left, batch, cfg,
             idCol, textCol, shingleK, numHashes, bands, shingleMode))
+      // the exact set-sim generator needs no pregate orientation: its
+      // candidate keys are each record's RAREST tokens under the df
+      // order computed over left ∪ batch, cold on both sides by
+      // construction (SetSimJoin scaladoc)
+      case "setsim" =>
+        Matcher.scoredPairsSetSimBlocked(left, batch, cfg,
+          idCol, textCol, minSim, simKind)
+      case "composite_full" =>
+        Matcher.scoredPairs(left, batch, cfg.copy(bloomPregateSide = "left"),
+          idCol, textCol, hasGeo = false)
+          .unionByName(Matcher.scoredPairsLshBlocked(left, batch, cfg,
+            idCol, textCol, shingleK, numHashes, bands, shingleMode))
+          .unionByName(Matcher.scoredPairsSetSimBlocked(left, batch, cfg,
+            idCol, textCol, minSim, simKind))
       case other => throw new IllegalArgumentException(
-        s"generator must be 'block', 'lsh' or 'composite': '$other'")
+        "generator must be 'block', 'lsh', 'composite', 'setsim' or " +
+          s"'composite_full': '$other'")
     }).localCheckpoint(true)
 
     val matches = TableIO.latestSnapshotId(root, "matches") match {
@@ -177,11 +201,13 @@ object StreamingLink {
       shingleK: Int = 5,
       numHashes: Int = 16,
       bands: Int = 4,
-      shingleMode: String = "char"): StreamingQuery = {
+      shingleMode: String = "char",
+      minSim: Double = 0.5,
+      simKind: String = "jaccard"): StreamingQuery = {
     val fold: (Dataset[Row], Long) => Unit = (batch, id) =>
       foldBatch(batch.toDF(), left, cfg, root, idCol, textCol, hasGeo, id,
         keepSnapshots, ccMaxIter, ccCheckEvery,
-        generator, shingleK, numHashes, bands, shingleMode)
+        generator, shingleK, numHashes, bands, shingleMode, minSim, simKind)
     rightStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(fold)

@@ -91,6 +91,32 @@ class GoldenRecordSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet == rows.toSet)
   }
 
+  test("medoid: maxMembers cap guards the quadratic (flag + min-id, null dist)") {
+    // exact below the cap, capped above it — same call
+    val r = recs("a1" -> "aa", "a2" -> "ab", "b1" -> "x1", "b2" -> "x2", "b3" -> "x3")
+    val a = asg("a1" -> 1L, "a2" -> 1L, "b1" -> 2L, "b2" -> 2L, "b3" -> 2L)
+    val got = GoldenRecord.medoid(r, a, maxMembers = 2).collect()
+      .map(x => (x.getLong(0), x.getString(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2), x.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a1", 1L, false), (2L, "b1", -1L, true)))
+    // the degenerate-cluster case the guard exists for: a 10k-member
+    // boilerplate cluster is 10^8 levenshtein pairs uncapped — with the
+    // default cap it must complete in seconds with the flag set and the
+    // deterministic min-id representative
+    val big = spark.range(10000).select(
+      format_string("g%05d", col("id")).as("id"),
+      lit("same boilerplate text").as("text"))
+    val bigAsg = big.select(col("id"), lit(42L).as("component"))
+    val t0 = System.nanoTime()
+    val rows = GoldenRecord.medoid(big, bigAsg).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 1)
+    assert(rows(0).getString(1) == "g00000" && rows(0).isNullAt(2) &&
+      rows(0).getBoolean(3))
+    assert(sec < 30.0, f"capped medoid took $sec%.1fs — guard not effective")
+  }
+
   test("fixture: every cluster collapses to one row; canonical_id is a member") {
     val recsF = graft.SparkEntry.addrNorm(
         graft.fixtures.AddressFixture.left(spark, sf0001))

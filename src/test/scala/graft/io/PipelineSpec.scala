@@ -31,6 +31,56 @@ class PipelineSpec extends SparkSpec {
       s"pipeline run left RDDs pinned in executor storage: $leaked")
   }
 
+  test("fs decision: committed resumable stage chain; link-zone recall >= threshold path") {
+    import org.apache.spark.sql.DataFrame
+    import graft.matching.FellegiSunter
+    val root = java.nio.file.Files.createTempDirectory("graft_pipe_fs").toString
+    // γ knobs for the dense-vocab synthetic transcript corpus (the
+    // corpus-density pitfall: token_set_ratio saturates at 100 on
+    // subset pairs, so the graded field uses jaro_winkler and the bins
+    // bracket its measured gold/noise split — gold raw ≥ 89.4, noise
+    // p95 ≈ 87; ConvFsDebug measured EM λ=0.213 vs truth 0.19 and the
+    // (2,1,0) anchor pattern at ratio ~900 → link)
+    val fsCfgConv = FellegiSunter.FsConfig(textLo = 70, textHi = 88)
+    val cfgJw = cfg.copy(scorer = "jaro_winkler")
+    val res = Pipeline.run(spark, sf0001, root, cfgJw, decision = "fs",
+      fsCfg = fsCfgConv)
+    assert(res.stages.map(_.table) == Seq("conv_norm", "fs_gammas", "fs_params",
+      "fs_zones", "fs_review", "matches", "clusters", "golden"),
+      s"unexpected fs stage chain: ${res.stages.map(_.table)}")
+    assert(res.review.isDefined, "fs run must expose the review queue")
+    // the learned-params snapshot is one row; zones cover the observed
+    // gamma patterns
+    assert(res.stages.find(_.table == "fs_params").get.rows == 1L)
+    assert(res.stages.find(_.table == "fs_zones").get.rows >= 1L)
+    // idempotent resume THROUGH the fs chain: a second run recomputes
+    // nothing
+    val res2 = Pipeline.run(spark, sf0001, root, cfgJw, decision = "fs",
+      fsCfg = fsCfgConv)
+    assert(res2.stages.forall(_.resumed),
+      s"expected full resume, got ${res2.stages.filterNot(_.resumed).map(_.table)}")
+
+    // link-zone recall vs the fixed-threshold stage on the same fixture
+    def recall(matches: DataFrame): Double = {
+      val m = matches
+        .withColumn("le", regexp_extract(col("left_id"), "c([0-9]+)_", 1))
+        .withColumn("re", regexp_extract(col("right_id"), "c([0-9]+)_", 1))
+      val tp = m.filter(col("le") === col("re"))
+        .select("left_id", "right_id").distinct().count()
+      val conv = TableIO.readTable(spark, root, "conv_norm")
+      val gold = conv.filter(col("variant") === 0)
+        .select(col("entity_id"), col("conv_id").as("l"))
+        .join(conv.filter(col("variant") > 0)
+          .select(col("entity_id"), col("conv_id").as("r")), "entity_id")
+        .count()
+      tp.toDouble / gold
+    }
+    val thrRoot = java.nio.file.Files.createTempDirectory("graft_pipe_thr").toString
+    val thr = Pipeline.run(spark, sf0001, thrRoot, cfg)
+    val (fsR, thrR) = (recall(res.matches), recall(thr.matches))
+    assert(fsR >= thrR, s"fs link-zone recall $fsR < threshold-path recall $thrR")
+  }
+
   test("match stage salts from the snapshot statistic, not an in-query scan") {
     val root = Files.createTempDirectory("graft_pipe").toString
     val res = Pipeline.run(spark, sf0001, root, cfg)

@@ -121,4 +121,81 @@ class StreamingLinkSpec extends SparkSpec {
       expectedC.exceptAll(gotC).count() == 0,
       "streamed LSH clusters != batch CC over banded accepted pairs")
   }
+
+  test("composite_full-generator stream drains to the exact batch comp3 match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scf").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scf_ck").toString
+
+    val left = norm(AddressFixture.left(spark, sf0001))
+    val rightAll = AddressFixture.rightAll(spark, sf0001)
+    val rows = rightAll.select("id", "address").collect()
+      .map(r => RightRow(r.getString(0), r.getString(1)))
+    val cJw = cfg.copy(scorer = "jaro_winkler")
+
+    val mem = MemoryStream[RightRow]
+    val q = StreamingLink.incrementalLinkSink(
+      norm(mem.toDF()), left, cJw, root, ckpt,
+      idCol = "id", textCol = "address_norm", generator = "composite_full")
+    try {
+      rows.grouped(rows.length / 2 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // batch twin: the full three-generator composite ranking — the
+    // sink can now run the engine's highest-recall candidate set
+    val expectedM = Matcher.matchPairsCompositeFull(left, norm(rightAll), cJw,
+      idCol = "id", textCol = "address_norm")
+    val gotM = TableIO.readTable(spark, root, "matches")
+    assert(gotM.exceptAll(expectedM).count() == 0 &&
+      expectedM.exceptAll(gotM).count() == 0,
+      "streamed composite_full matches != batch matchPairsCompositeFull")
+
+    val expectedC = ConnectedComponents.run(
+      Matcher.scoredPairs(left, norm(rightAll), cJw,
+          idCol = "id", textCol = "address_norm", hasGeo = false)
+        .unionByName(Matcher.scoredPairsLshBlocked(left, norm(rightAll), cJw,
+          idCol = "id", textCol = "address_norm"))
+        .unionByName(Matcher.scoredPairsSetSimBlocked(left, norm(rightAll), cJw,
+          idCol = "id", textCol = "address_norm")),
+      "left_id", "right_id")
+    val gotC = TableIO.readTable(spark, root, "clusters")
+    assert(gotC.exceptAll(expectedC).count() == 0 &&
+      expectedC.exceptAll(gotC).count() == 0,
+      "streamed composite_full clusters != batch CC over the union legs")
+  }
+
+  test("setsim-generator stream drains to the exact batch set-sim match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sss").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sss_ck").toString
+
+    val left = norm(AddressFixture.left(spark, sf0001))
+    val rightAll = AddressFixture.rightAll(spark, sf0001)
+    val rows = rightAll.select("id", "address").collect()
+      .map(r => RightRow(r.getString(0), r.getString(1)))
+    val cJw = cfg.copy(scorer = "jaro_winkler", blockBy = "")
+
+    val mem = MemoryStream[RightRow]
+    val q = StreamingLink.incrementalLinkSink(
+      norm(mem.toDF()), left, cJw, root, ckpt,
+      idCol = "id", textCol = "address_norm", generator = "setsim")
+    try {
+      rows.grouped(rows.length / 2 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val expectedM = Matcher.matchPairsSetSimBlocked(left, norm(rightAll), cJw,
+      idCol = "id", textCol = "address_norm")
+    val gotM = TableIO.readTable(spark, root, "matches")
+    assert(gotM.exceptAll(expectedM).count() == 0 &&
+      expectedM.exceptAll(gotM).count() == 0,
+      "streamed setsim matches != batch matchPairsSetSimBlocked")
+  }
 }
