@@ -580,6 +580,27 @@ object SparkEntry {
   def fsReview(s: SparkSession, dir: String): DataFrame =
     FellegiSunter.reviewQueue(fsGammas(s, dir), fsZones(s, dir))
 
+  /** γ knobs for the TEXT-ONLY FS path over the transcript corpus (the
+    * `decision = "fs"` pipeline stage): graded jaro_winkler bins
+    * bracketing the measured gold/noise split on the dense-vocab
+    * corpus (gold raw ≥ 89.4, noise p95 ≈ 87 — token_set_ratio
+    * saturates at 100 on subset pairs there, so it serves as the
+    * EXACT-AGREEMENT field instead; [[FellegiSunter.gammaPairsText]]
+    * scaladoc for the identifiability argument). */
+  private val fsTextCfg = FellegiSunter.FsConfig(textLo = 70, textHi = 88)
+
+  /** γ vectors of the text-only FS path over the conv corpus — the
+    * exact frame the `decision = "fs"` pipeline commits as fs_gammas. */
+  def fsTextGammas(s: SparkSession, dir: String): DataFrame = {
+    val conv = convNorm(s, dir).cache()
+    FellegiSunter.gammaPairsText(
+      conv.filter(col("variant") === 0),
+      conv.filter(col("variant") > 0),
+      fsTextCfg, "digits+prefix6",
+      graft.similarity.FuzzFunctions.scorer("jaro_winkler"),
+      idCol = "conv_id", textCol = "text_norm")
+  }
+
   // -------------------------------------------------------------------
   // Token blocking + meta-blocking (J28) over the address fixture
   // -------------------------------------------------------------------
@@ -620,6 +641,38 @@ object SparkEntry {
     val normL = Normalizer.normalizeAddressSqlDuck("address")
     s"""ln AS (SELECT id, $normL AS t, lat, lon FROM addr_left),
        |rn AS (SELECT id, $normL AS t, lat, lon FROM addr_right)""".stripMargin
+  }
+
+  /** Mirror of [[fsTextGammas]] as CTEs ending in `gam(left_id,
+    * right_id, g_t, g_d, g_g)` over conv_norm. The graded field is
+    * DuckDB's native `jaro_winkler_similarity` ×100 (the mirror
+    * m_match_jw already hash-proves); the exact-agreement field
+    * mirrors `token_set_ratio == 100` as the SUBSET test over the
+    * canonical distinct-token lists (the m_tsr_pretok tokenization):
+    * TSR = 100 ⟺ one side's set contains the other — if a side has no
+    * unshared tokens its sorted join string EQUALS the intersection
+    * string (ratio 100); otherwise all three combination ratios
+    * compare unequal strings with non-empty tails and stay < 100.
+    * Empty-token records are guarded to level 0 on both engines. */
+  private def fsTextGamCte: String = {
+    val bk = BlockKeys.digitsPrefixKeySqlDuck("text_norm", 6)
+    val toks = """list_sort(list_distinct(
+      |            list_filter(string_split_regex(text_norm, '\s+'), t -> t <> '')))"""
+      .stripMargin
+    val jw = "(jaro_winkler_similarity(l.text_norm, r.text_norm) * 100.0)"
+    s"""sides AS (SELECT conv_id, variant, text_norm, $toks AS toks,
+       |          $bk AS block_key FROM conv_norm),
+       |gam AS (SELECT l.conv_id AS left_id, r.conv_id AS right_id,
+       |  CASE WHEN $jw >= CAST(${fsTextCfg.textHi} AS DOUBLE) THEN 2
+       |       WHEN $jw >= CAST(${fsTextCfg.textLo} AS DOUBLE) THEN 1
+       |       ELSE 0 END AS g_t,
+       |  CASE WHEN least(len(l.toks), len(r.toks)) > 0
+       |        AND len(list_intersect(l.toks, r.toks))
+       |            = least(len(l.toks), len(r.toks)) THEN 1
+       |       ELSE 0 END AS g_d,
+       |  0 AS g_g
+       |  FROM sides l JOIN sides r ON l.block_key = r.block_key
+       |  WHERE l.variant = 0 AND r.variant > 0)""".stripMargin
   }
 
   private def fsGamCte: String = {
@@ -1074,6 +1127,15 @@ object SparkEntry {
     // target error rates) + the clerical-review queue it induces.
     "fs_zones" -> ((s, dir) => fsZones(s, dir)),
     "fs_review" -> ((s, dir) => fsReview(s, dir)),
+    // Text-only FS path (the decision="fs" pipeline frame): γ vectors
+    // with the exact-agreement second field, and the full EM + zone
+    // chain over them.
+    "fs_text_gammas" -> ((s, dir) => fsTextGammas(s, dir)),
+    "fs_text_zones" -> ((s, dir) =>
+      FellegiSunter.decisionZones(
+        FellegiSunter.gammaCounts(fsTextGammas(s, dir)),
+        FellegiSunter.emFit(
+          FellegiSunter.gammaCounts(fsTextGammas(s, dir)), fsTextCfg))),
     // J28 meta-blocking: token blocking with block purging, then
     // weight-edge pruning (mean-CBS threshold) / cardinality-node
     // pruning (top-k per record by Jaccard).
@@ -1387,6 +1449,12 @@ object SparkEntry {
       s", $fsGamCte ${FellegiSunter.emChainSqlDuck(fsCfg)}" +
         s"${FellegiSunter.zonesCteSqlDuck(fsCfg)} " +
         FellegiSunter.reviewSelectSqlDuck),
+    "fs_text_gammas" -> withCtes(
+      s", $fsTextGamCte SELECT left_id, right_id, g_t, g_d, g_g FROM gam"),
+    "fs_text_zones" -> withCtes(
+      s", $fsTextGamCte ${FellegiSunter.emChainSqlDuck(fsTextCfg)}" +
+        s"${FellegiSunter.zonesCteSqlDuck(fsTextCfg)} " +
+        FellegiSunter.zonesSelectSqlDuck),
     "b_meta_wep" -> withAddrCtes(
       s", $addrNormCtes, ${graft.blocking.MetaBlocking.pairWeightsCteDuck(mbCfg)} " +
         graft.blocking.MetaBlocking.wepSelectSqlDuck),
