@@ -1208,6 +1208,56 @@ object SparkEntry {
       graft.cluster.GoldenRecord.medoid(
         recs, addrClusters(s, dir), idCol = "id", textCol = "address_norm")
     }),
+    // Incremental survivorship: prior clusters (half the match edges
+    // by deterministic pair hash) -> prior golden table, then the
+    // incremental-CC fold grows/merges clusters and mergeIncremental
+    // recomputes ONLY the touched components, passing untouched golden
+    // rows through. Provably = full merge over the final clusters
+    // (GoldenRecord.mergeIncremental scaladoc), so the oracle is the
+    // a_golden SQL verbatim.
+    "a_golden_incr" -> ((s, dir) => {
+      val recs = addrNorm(AddressFixture.left(s, dir))
+        .unionAll(addrNorm(AddressFixture.rightAll(s, dir)))
+        .select(col("id"), col("address_norm"))
+      val edges = addrMatchLev(s, dir).localCheckpoint(true)
+      val inPrior = pmod(hash(col("left_id"), col("right_id")), lit(2)) === 0
+      val prior = ConnectedComponents.run(
+        edges.filter(inPrior), "left_id", "right_id")
+      val full = ConnectedComponents.runIncremental(
+        prior, edges.filter(not(inPrior)), "left_id", "right_id")
+      val priorGolden = graft.cluster.GoldenRecord.merge(
+        recs, prior, idCol = "id", textCol = "address_norm")
+      val out = graft.cluster.GoldenRecord.mergeIncremental(
+        priorGolden, prior, full, recs,
+        idCol = "id", textCol = "address_norm").localCheckpoint(true)
+      graft.util.CheckpointHygiene.free(prior)
+      graft.util.CheckpointHygiene.free(full)
+      graft.util.CheckpointHygiene.free(edges)
+      out
+    }),
+    // Incremental medoid — the same touched-component fold over the
+    // distance-based canonical record (capped exactly like a_medoid);
+    // oracle = the a_medoid SQL verbatim.
+    "a_medoid_incr" -> ((s, dir) => {
+      val recs = addrNorm(AddressFixture.left(s, dir))
+        .unionAll(addrNorm(AddressFixture.rightAll(s, dir)))
+        .select(col("id"), col("address_norm"))
+      val edges = addrMatchLev(s, dir).localCheckpoint(true)
+      val inPrior = pmod(hash(col("left_id"), col("right_id")), lit(2)) === 0
+      val prior = ConnectedComponents.run(
+        edges.filter(inPrior), "left_id", "right_id")
+      val full = ConnectedComponents.runIncremental(
+        prior, edges.filter(not(inPrior)), "left_id", "right_id")
+      val priorMedoid = graft.cluster.GoldenRecord.medoid(
+        recs, prior, idCol = "id", textCol = "address_norm")
+      val out = graft.cluster.GoldenRecord.medoidIncremental(
+        priorMedoid, prior, full, recs,
+        idCol = "id", textCol = "address_norm").localCheckpoint(true)
+      graft.util.CheckpointHygiene.free(prior)
+      graft.util.CheckpointHygiene.free(full)
+      graft.util.CheckpointHygiene.free(edges)
+      out
+    }),
     // Incremental clustering: the committed match pairs split into a
     // prior batch and an increment by a deterministic pair hash; the
     // prior batch is clustered, committed as (id, component), and the
@@ -1536,6 +1586,32 @@ object SparkEntry {
          |""".stripMargin
     },
     "a_medoid" -> withAddrCtes {
+      val normL = Normalizer.normalizeAddressSqlDuck("address")
+      s"""
+         |, $addrCcCtes,
+         |grec AS (
+         |  SELECT c.component, s.id, s.t FROM (
+         |    SELECT id, $normL AS t FROM addr_left
+         |    UNION ALL SELECT id, $normL AS t FROM addr_right) s
+         |  JOIN cc c ON s.id = c.id),
+         |${graft.cluster.GoldenRecord.medoidSqlDuck()}
+         |""".stripMargin
+    },
+    // incremental == full (touched-component fold proof in the
+    // queries entries), so both oracles are the full SQL verbatim
+    "a_golden_incr" -> withAddrCtes {
+      val normL = Normalizer.normalizeAddressSqlDuck("address")
+      s"""
+         |, $addrCcCtes,
+         |grec AS (
+         |  SELECT c.component, s.id, s.t FROM (
+         |    SELECT id, $normL AS t FROM addr_left
+         |    UNION ALL SELECT id, $normL AS t FROM addr_right) s
+         |  JOIN cc c ON s.id = c.id),
+         |${graft.cluster.GoldenRecord.mergeSqlDuck}
+         |""".stripMargin
+    },
+    "a_medoid_incr" -> withAddrCtes {
       val normL = Normalizer.normalizeAddressSqlDuck("address")
       s"""
          |, $addrCcCtes,

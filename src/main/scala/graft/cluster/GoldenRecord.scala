@@ -59,6 +59,86 @@ object GoldenRecord {
     scalar.join(mode, Seq("component")).join(longest, Seq("component"))
   }
 
+  /** The recompute set for ANY per-cluster derived table between two
+    * assignment snapshots: (labels to recompute, prior labels to
+    * drop). A component is untouched ⇔ none of its members changed
+    * label; since CC labels are the component's min member id, an
+    * untouched component has an identical member set AND label, so its
+    * derived row (survivorship, medoid) is still exact — the same
+    * touched-keys argument as incremental sessionization. Cost: one
+    * id-keyed join of two vertex-sized assignment tables + two small
+    * distincts; no cluster CONTENT is read for untouched components. */
+  private def touchedComponents(
+      priorAsg: DataFrame, newAsg: DataFrame): (DataFrame, DataFrame) = {
+    val moved = newAsg.join(
+      priorAsg.withColumnRenamed("component", "old_component"), Seq("id"), "left")
+      .filter(col("old_component").isNull ||
+        col("old_component") =!= col("component"))
+    (moved.select("component").distinct(),
+      moved.filter(col("old_component").isNotNull)
+        .select(col("old_component").as("component")).distinct())
+  }
+
+  private def asgCanon(df: DataFrame, idCol: String, componentCol: String) =
+    df.select(col(idCol).as("id"), col(componentCol).as("component"))
+
+  /** Incremental [[merge]]: fold a new assignments snapshot (grown or
+    * merged clusters — the [[ConnectedComponents.runIncremental]]
+    * output) into a prior survivorship table, recomputing ONLY touched
+    * components and passing every untouched golden row through
+    * unchanged. Provably = `merge(records, newAssignments)`: a golden
+    * row is a deterministic function of (label, member multiset), both
+    * unchanged for untouched components; touched components are
+    * recomputed by the full rule. Per-batch cost ∝ members of touched
+    * clusters, not corpus size — the survivorship table of a 10^12-row
+    * corpus is foldable per ingest instead of rebuilt.
+    *
+    * @param records FULL committed record table (id, text); the
+    *                touched-component semi-join prunes the scan. */
+  def mergeIncremental(
+      priorGolden: DataFrame,
+      priorAssignments: DataFrame,
+      newAssignments: DataFrame,
+      records: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text",
+      componentCol: String = "component"): DataFrame = {
+    val (recompute, stale) = touchedComponents(
+      asgCanon(priorAssignments, idCol, componentCol),
+      asgCanon(newAssignments, idCol, componentCol))
+    val keep = priorGolden.join(
+      recompute.unionByName(stale).distinct(), Seq("component"), "left_anti")
+    val touchedAsg = asgCanon(newAssignments, idCol, componentCol)
+      .join(recompute, Seq("component"), "left_semi")
+    keep.unionByName(
+      merge(records.select(col(idCol).as("id"), col(textCol).as("text")),
+        touchedAsg))
+  }
+
+  /** Incremental [[medoid]] — same touched-component fold as
+    * [[mergeIncremental]] (the medoid row, including the `capped`
+    * flag, is a deterministic function of (label, member multiset)). */
+  def medoidIncremental(
+      priorMedoid: DataFrame,
+      priorAssignments: DataFrame,
+      newAssignments: DataFrame,
+      records: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text",
+      componentCol: String = "component",
+      maxMembers: Int = 256): DataFrame = {
+    val (recompute, stale) = touchedComponents(
+      asgCanon(priorAssignments, idCol, componentCol),
+      asgCanon(newAssignments, idCol, componentCol))
+    val keep = priorMedoid.join(
+      recompute.unionByName(stale).distinct(), Seq("component"), "left_anti")
+    val touchedAsg = asgCanon(newAssignments, idCol, componentCol)
+      .join(recompute, Seq("component"), "left_semi")
+    keep.unionByName(
+      medoid(records.select(col(idCol).as("id"), col(textCol).as("text")),
+        touchedAsg, maxMembers = maxMembers))
+  }
+
   // -------------------------------------------------------------------
   // DuckDB mirror
   // -------------------------------------------------------------------

@@ -58,7 +58,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * one of these generators satisfies (the set-sim leg's per-pair
   * argument is in [[Matcher.matchPairsIncrementalSetSim]]'s scaladoc:
   * global token frequencies steer which candidates are VERIFIED,
-  * never which pairs emerge). */
+  * never which pairs emerge).
+  *
+  * With `commitGolden = true` the sink also folds the SURVIVORSHIP
+  * table per batch — `members` (every record seen, id-deduped) and
+  * `golden` (one canonical row per entity cluster, via the
+  * touched-component incremental fold
+  * [[graft.cluster.GoldenRecord.mergeIncremental]]) — closing the full
+  * streaming ER loop match → cluster → golden in committed snapshots. */
 object StreamingLink {
 
   /** Fold ONE micro-batch of right rows into the `matches` and
@@ -83,7 +90,8 @@ object StreamingLink {
       bands: Int = 4,
       shingleMode: String = "char",
       minSim: Double = 0.5,
-      simKind: String = "jaccard"): Unit = {
+      simKind: String = "jaccard",
+      commitGolden: Boolean = false): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     // The scored candidate set returns exactly (left_id, right_id,
@@ -155,10 +163,12 @@ object StreamingLink {
     // batch ahead of clusters until then. ccMaxIter/ccCheckEvery are
     // the remediation knobs the strict error message names — a graph
     // that legitimately needs more rounds raises them here.
-    val clusters = TableIO.latestSnapshotId(root, "clusters") match {
-      case Some(_) =>
+    val priorClusters = TableIO.latestSnapshotId(root, "clusters")
+      .map(_ => TableIO.readTable(spark, root, "clusters"))
+    val clusters = priorClusters match {
+      case Some(pc) =>
         ConnectedComponents.runIncremental(
-          TableIO.readTable(spark, root, "clusters"), scoredMat,
+          pc, scoredMat,
           "left_id", "right_id", maxIter = ccMaxIter,
           checkEvery = ccCheckEvery, strict = true)
       case None =>
@@ -167,6 +177,42 @@ object StreamingLink {
     }
     TableIO.commitSnapshot(clusters, root, "clusters",
       Map("stage" -> "clusters", "batch" -> batchId.toString))
+
+    // Optional survivorship table: the full streaming ER loop
+    // (match → cluster → golden) lands in committed snapshots. The
+    // `members` table accumulates every record seen (left side + each
+    // batch, deduped by id — replay-idempotent under the sink's
+    // append-plus-replay precondition), and the golden fold recomputes
+    // ONLY clusters the batch touched ([[graft.cluster.GoldenRecord
+    // .mergeIncremental]]'s proof makes the drained table provably =
+    // merge over the batch clusters). A replayed batch moves no member
+    // to a new label, so the recompute set is empty and the golden
+    // content re-commits unchanged.
+    if (commitGolden) {
+      val canon = (df: DataFrame) =>
+        df.select(col(idCol).as("id"), col(textCol).as("text"))
+      val batchMembers = canon(left).unionByName(canon(batch))
+      val members = (TableIO.latestSnapshotId(root, "members") match {
+        case Some(_) =>
+          TableIO.readTable(spark, root, "members").unionByName(batchMembers)
+        case None => batchMembers
+      }).groupBy("id").agg(org.apache.spark.sql.functions.max("text").as("text"))
+      TableIO.commitSnapshot(members, root, "members",
+        Map("stage" -> "members", "batch" -> batchId.toString))
+      val membersCommitted = TableIO.readTable(spark, root, "members")
+      val golden = (TableIO.latestSnapshotId(root, "golden"), priorClusters) match {
+        case (Some(_), Some(pc)) =>
+          graft.cluster.GoldenRecord.mergeIncremental(
+            TableIO.readTable(spark, root, "golden"), pc, clusters,
+            membersCommitted)
+        case _ =>
+          graft.cluster.GoldenRecord.merge(membersCommitted, clusters)
+      }
+      TableIO.commitSnapshot(golden, root, "golden",
+        Map("stage" -> "golden", "batch" -> batchId.toString))
+      TableIO.expireSnapshots(root, "members", keepSnapshots)
+      TableIO.expireSnapshots(root, "golden", keepSnapshots)
+    }
     // the snapshots are the durable copies — release the eager
     // checkpoints so an unbounded stream doesn't pin one CC result +
     // one scored batch in executor storage per micro-batch
@@ -203,11 +249,13 @@ object StreamingLink {
       bands: Int = 4,
       shingleMode: String = "char",
       minSim: Double = 0.5,
-      simKind: String = "jaccard"): StreamingQuery = {
+      simKind: String = "jaccard",
+      commitGolden: Boolean = false): StreamingQuery = {
     val fold: (Dataset[Row], Long) => Unit = (batch, id) =>
       foldBatch(batch.toDF(), left, cfg, root, idCol, textCol, hasGeo, id,
         keepSnapshots, ccMaxIter, ccCheckEvery,
-        generator, shingleK, numHashes, bands, shingleMode, minSim, simKind)
+        generator, shingleK, numHashes, bands, shingleMode, minSim, simKind,
+        commitGolden)
     rightStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(fold)

@@ -138,6 +138,59 @@ class GoldenRecordSpec extends SparkSpec {
     golden.unpersist(); clusters.unpersist()
   }
 
+  test("incremental survivorship == full under growth, merge and a smaller-id join") {
+    // records: clusters A={a1,a2}, B={b1}, C={c1} at prior; the fold
+    // then (1) grows A with a3, (2) merges B into A — label stays 1 —
+    // and (3) leaves C untouched; z0 joins C and STEALS its label
+    // (min-id relabel), exercising the stale-prior-label drop.
+    val r = recs(
+      "a1" -> "ankara", "a2" -> "ankara", "a3" -> "ankr",
+      "b1" -> "izmir", "c1" -> "bursa", "z0" -> "brsa")
+    val priorA = asg("a1" -> 1L, "a2" -> 1L, "b1" -> 2L, "c1" -> 3L)
+    val newA = asg(
+      "a1" -> 1L, "a2" -> 1L, "a3" -> 1L, "b1" -> 1L,
+      "c1" -> 0L, "z0" -> 0L)
+    val priorGolden = GoldenRecord.merge(
+      r.join(priorA.select("id"), Seq("id"), "left_semi"), priorA)
+    val got = GoldenRecord.mergeIncremental(priorGolden, priorA, newA, r)
+    val full = GoldenRecord.merge(r, newA)
+    assert(got.collect().map(_.toString).toSet ==
+      full.collect().map(_.toString).toSet)
+    // medoid fold too, same topology
+    val priorMed = GoldenRecord.medoid(
+      r.join(priorA.select("id"), Seq("id"), "left_semi"), priorA)
+    val gotM = GoldenRecord.medoidIncremental(priorMed, priorA, newA, r)
+    val fullM = GoldenRecord.medoid(r, newA)
+    assert(gotM.collect().map(_.toString).toSet ==
+      fullM.collect().map(_.toString).toSet)
+  }
+
+  test("incremental survivorship == full on the fixture CC split") {
+    import org.apache.spark.sql.functions.{hash => shash, pmod, not, lit}
+    val recsF = graft.SparkEntry.addrNorm(
+        graft.fixtures.AddressFixture.left(spark, sf0001))
+      .unionAll(graft.SparkEntry.addrNorm(
+        graft.fixtures.AddressFixture.rightAll(spark, sf0001)))
+      .select(col("id"), col("address_norm"))
+    val edges = graft.SparkEntry.addrMatchLev(spark, sf0001).localCheckpoint(true)
+    val inPrior = pmod(shash(col("left_id"), col("right_id")), lit(2)) === 0
+    val prior = graft.cluster.ConnectedComponents.run(
+      edges.filter(inPrior), "left_id", "right_id")
+    val full = graft.cluster.ConnectedComponents.runIncremental(
+      prior, edges.filter(not(inPrior)), "left_id", "right_id")
+    val priorGolden = GoldenRecord.merge(
+      recsF, prior, idCol = "id", textCol = "address_norm")
+    val got = GoldenRecord.mergeIncremental(
+      priorGolden, prior, full, recsF, idCol = "id", textCol = "address_norm")
+    val want = GoldenRecord.merge(
+      recsF, full, idCol = "id", textCol = "address_norm")
+    assert(got.collect().map(_.toString).toSet ==
+      want.collect().map(_.toString).toSet)
+    graft.util.CheckpointHygiene.free(prior)
+    graft.util.CheckpointHygiene.free(full)
+    graft.util.CheckpointHygiene.free(edges)
+  }
+
   test("partitioning-independent") {
     val r = recs((1 to 40).map(i => (s"id$i", s"val${i % 7}")): _*)
     val a = asg((1 to 40).map(i => (s"id$i", (i % 5).toLong)): _*)

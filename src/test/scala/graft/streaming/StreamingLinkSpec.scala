@@ -168,6 +168,55 @@ class StreamingLinkSpec extends SparkSpec {
       "streamed composite_full clusters != batch CC over the union legs")
   }
 
+  test("commitGolden stream drains the survivorship table to the exact batch merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sgold").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sgold_ck").toString
+
+    val left = norm(AddressFixture.left(spark, sf0001))
+    val rightAll = AddressFixture.rightAll(spark, sf0001)
+    val rows = rightAll.select("id", "address").collect()
+      .map(r => RightRow(r.getString(0), r.getString(1)))
+
+    val mem = MemoryStream[RightRow]
+    val q = StreamingLink.incrementalLinkSink(
+      norm(mem.toDF()), left, cfg, root, ckpt,
+      idCol = "id", textCol = "address_norm", commitGolden = true)
+    try {
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // replay idempotence: content of golden unchanged
+      val before = TableIO.readTable(spark, root, "golden").count()
+      mem.addData(rows.take(rows.length / 3 + 1).toSeq: _*)
+      q.processAllAvailable()
+      assert(TableIO.readTable(spark, root, "golden").count() == before)
+    } finally q.stop()
+
+    // batch twin: survivorship over CC of all accepted scored pairs,
+    // records = left ∪ every streamed right row
+    val membersAll = left.select(col("id"), col("address_norm").as("text"))
+      .unionByName(norm(rightAll).select(col("id"), col("address_norm").as("text")))
+      .groupBy("id").agg(max("text").as("text"))
+    val clustersAll = ConnectedComponents.run(
+      Matcher.scoredPairs(left, norm(rightAll), cfg,
+        idCol = "id", textCol = "address_norm"), "left_id", "right_id")
+    val expectedG = graft.cluster.GoldenRecord.merge(membersAll, clustersAll)
+    val gotG = TableIO.readTable(spark, root, "golden")
+    assert(gotG.exceptAll(expectedG).count() == 0 &&
+      expectedG.exceptAll(gotG).count() == 0,
+      "streamed golden != batch GoldenRecord.merge over drained clusters")
+    // members retention follows keepSnapshots like every other table
+    import scala.jdk.CollectionConverters._
+    for (t <- Seq("members", "golden")) {
+      val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(root, t))
+        .iterator().asScala.count(_.getFileName.toString.startsWith("snapshot="))
+      assert(dirs <= 2, s"$t retains $dirs snapshots, expected <= 2")
+    }
+  }
+
   test("setsim-generator stream drains to the exact batch set-sim match") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
