@@ -1281,6 +1281,42 @@ object SparkEntry {
       graft.util.CheckpointHygiene.free(edges)
       out
     }),
+    // Oversized-cluster split by threshold escalation (A19): clusters
+    // beyond maxMembers=6 re-cluster their internal edges at the
+    // escalated score 95 — weak bridge edges (the chaining culprits)
+    // break, confident sub-entities survive, small clusters pass
+    // through untouched. At sf0.01 the fixture CC yields size-6 AND
+    // size-8 clusters, so both the pass-through and the split path are
+    // hash-checked at the driver's gate scale.
+    "a_clusters_split" -> ((s, dir) => {
+      val edges = addrMatchLev(s, dir).localCheckpoint(true)
+      val asg = ConnectedComponents.run(edges, "left_id", "right_id")
+      val out = graft.cluster.ClusterSplit.splitOversized(
+        edges, asg, maxMembers = 6, minScore = 95.0).localCheckpoint(true)
+      graft.util.CheckpointHygiene.free(asg)
+      graft.util.CheckpointHygiene.free(edges)
+      out
+    }),
+    // Assignment drift metrics (A20): the monitoring row for the
+    // incremental path — prior = CC over the md5-half of the match
+    // edges (md5 replicates bit-for-bit in DuckDB, unlike Spark's
+    // Murmur3 hash), current = the incremental fold of the rest.
+    // Exact-integer churn/split/merge counts + pair stability ratios.
+    "e_assign_drift" -> ((s, dir) => {
+      val edges = addrMatchLev(s, dir).localCheckpoint(true)
+      val inPrior =
+        substring(md5(concat_ws("|", col("left_id"), col("right_id"))), 1, 1) <= "7"
+      val prior = ConnectedComponents.run(
+        edges.filter(inPrior), "left_id", "right_id")
+      val full = ConnectedComponents.runIncremental(
+        prior, edges.filter(not(inPrior)), "left_id", "right_id")
+      val out = graft.cluster.AssignmentDrift.drift(prior, full)
+        .localCheckpoint(true)
+      graft.util.CheckpointHygiene.free(prior)
+      graft.util.CheckpointHygiene.free(full)
+      graft.util.CheckpointHygiene.free(edges)
+      out
+    }),
     // Index mode (J14): positional zip join.
     "a_match_index" -> ((s, dir) =>
       Matcher.matchIndex(AddressFixture.left(s, dir), AddressFixture.right(s, dir, 1))),
@@ -1516,6 +1552,46 @@ object SparkEntry {
     "a_match_incr" -> withAddrCtes(s"SELECT * FROM ($addrMatchBody)"),
     // incremental == full (star-contraction argument in the
     // runIncremental scaladoc), so the oracle is a_clusters' verbatim
+    // split: the full CC chain, then the escalated-threshold
+    // re-closure of oversized clusters — the whole rule mirrored
+    "a_clusters_split" -> withAddrCtes(
+      s"""
+         |, $addrCcCtes,
+         |${graft.cluster.ClusterSplit.splitOversizedSqlDuck(6, 95.0)}
+         |""".stripMargin),
+    // drift: prior = recursive-CTE closure of the md5-half of the
+    // edges (the identical cross-engine split), current = closure of
+    // ALL edges (incremental == full on the Spark side), then the
+    // exact-integer drift frame
+    "e_assign_drift" -> withAddrCtes(
+      s"""
+         |, m AS ($addrMatchBody),
+         |mp AS (SELECT * FROM m
+         |       WHERE substr(md5(left_id || '|' || right_id), 1, 1) <= '7'),
+         |pedges AS (SELECT left_id AS u, right_id AS v FROM mp
+         |           UNION SELECT right_id, left_id FROM mp),
+         |pverts AS (SELECT DISTINCT u AS id FROM pedges),
+         |pasg AS (SELECT id, component FROM (
+         |  WITH RECURSIVE preach(id, r) AS (
+         |    SELECT id, id FROM pverts
+         |    UNION
+         |    SELECT preach.id, e.v FROM preach JOIN pedges e ON preach.r = e.u
+         |  )
+         |  SELECT id, min(r) AS component FROM preach GROUP BY id
+         |)),
+         |edges AS (SELECT left_id AS u, right_id AS v FROM m
+         |          UNION SELECT right_id, left_id FROM m),
+         |verts AS (SELECT DISTINCT u AS id FROM edges),
+         |nasg AS (SELECT id, component FROM (
+         |  WITH RECURSIVE reach(id, r) AS (
+         |    SELECT id, id FROM verts
+         |    UNION
+         |    SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+         |  )
+         |  SELECT id, min(r) AS component FROM reach GROUP BY id
+         |)),
+         |${graft.cluster.AssignmentDrift.driftSqlDuck}
+         |""".stripMargin),
     "a_clusters_incr" -> withAddrCtes(
       s"""
          |, m AS ($addrMatchBody),

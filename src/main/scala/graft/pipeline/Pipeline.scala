@@ -81,7 +81,9 @@ object Pipeline {
       decision: String = "threshold",
       fsCfg: FellegiSunter.FsConfig = FellegiSunter.FsConfig(),
       fsMu: Double = 0.01,
-      fsLambdaErr: Double = 0.01): Result = {
+      fsLambdaErr: Double = 0.01,
+      splitMaxMembers: Option[Int] = None,
+      splitMinScore: Double = 95.0): Result = {
     require(decision == "threshold" || decision == "fs",
       s"decision must be 'threshold' or 'fs': '$decision'")
     val cfgHash = TableIO.lineageHash(Map(
@@ -92,7 +94,8 @@ object Pipeline {
       "fsIters" -> fsCfg.iters.toString, "fsMu" -> fsMu.toString,
       "fsLambdaErr" -> fsLambdaErr.toString,
       "fsBins" -> Seq(fsCfg.textLo, fsCfg.textHi, fsCfg.geoLo, fsCfg.geoHi)
-        .mkString(",")))
+        .mkString(","),
+      "split" -> splitMaxMembers.map(m => s"$m@$splitMinScore").getOrElse("off")))
     def lineage(stage: String, extra: (String, String)*): Map[String, String] =
       Map("input" -> sfDir, "stage" -> stage, "config" -> cfgHash) ++ extra
 
@@ -202,15 +205,38 @@ object Pipeline {
     }
     ccResult.foreach(graft.util.CheckpointHygiene.free)
 
+    // optional over-merge repair (A19): clusters beyond
+    // splitMaxMembers re-cluster their internal match edges at the
+    // escalated splitMinScore — its own committed, resumable stage;
+    // downstream stages consume the REPAIRED assignments
+    // ([[graft.cluster.ClusterSplit]] scaladoc on why a
+    // boilerplate-heavy corpus needs this seat in the pipeline, not
+    // just as an ad-hoc query).
+    val splitStage = splitMaxMembers.map { maxM =>
+      var splitCkpt: Option[DataFrame] = None
+      val (df, resumed) = TableIO.resumeOrCompute(spark, workRoot, "clusters_split",
+        lineage("clusters_split")) {
+        val r = graft.cluster.ClusterSplit.splitOversized(
+          matches, clusters, maxM, splitMinScore)
+        splitCkpt = Some(r)
+        r
+      }
+      splitCkpt.foreach(graft.util.CheckpointHygiene.free)
+      (df, resumed)
+    }
+    val effectiveClusters = splitStage
+      .map(_._1.select(col("id"), col("component")))
+      .getOrElse(clusters)
+
     // survivorship: one canonical record per entity cluster — the
     // pipeline's user-facing output table (GoldenRecord scaladoc).
-    // Reads the committed clusters snapshot, so it resumes like any
-    // other stage.
+    // Reads the committed clusters (or repaired clusters_split)
+    // snapshot, so it resumes like any other stage.
     val (golden, r4) = TableIO.resumeOrCompute(spark, workRoot, "golden",
       lineage("golden")) {
       graft.cluster.GoldenRecord.merge(
         convNorm.select(col("conv_id").as("id"), col("text_norm")),
-        clusters, idCol = "id", textCol = "text_norm")
+        effectiveClusters, idCol = "id", textCol = "text_norm")
     }
 
     Result(
@@ -218,8 +244,11 @@ object Pipeline {
         preStages ++
         Seq(
           StageResult("matches", matches.count(), matchesResumed),
-          StageResult("clusters", clusters.count(), r3),
-          StageResult("golden", golden.count(), r4)),
-      matches, clusters, golden, review)
+          StageResult("clusters", clusters.count(), r3)) ++
+        splitStage.map { case (df, resumed) =>
+          StageResult("clusters_split", df.count(), resumed)
+        }.toSeq ++
+        Seq(StageResult("golden", golden.count(), r4)),
+      matches, effectiveClusters, golden, review)
   }
 }

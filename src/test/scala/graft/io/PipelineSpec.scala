@@ -81,6 +81,35 @@ class PipelineSpec extends SparkSpec {
     assert(fsR >= thrR, s"fs link-zone recall $fsR < threshold-path recall $thrR")
   }
 
+  test("split stage: committed, resumable, refines CC, feeds golden") {
+    val root = Files.createTempDirectory("graft_pipe_split").toString
+    val res = Pipeline.run(spark, sf0001, root, cfg,
+      splitMaxMembers = Some(2), splitMinScore = 99.5)
+    assert(res.stages.map(_.table) == Seq("conv_norm", "hot_keys", "matches",
+      "clusters", "clusters_split", "golden"),
+      s"unexpected split stage chain: ${res.stages.map(_.table)}")
+    val split = TableIO.readTable(spark, root, "clusters_split")
+    val cc = TableIO.readTable(spark, root, "clusters")
+    // same vertex set
+    assert(split.select("id").exceptAll(cc.select("id")).count() == 0 &&
+      cc.select("id").exceptAll(split.select("id")).count() == 0)
+    // escalation only refines: each split component sits inside ONE CC
+    // component
+    val spans = split.select(col("id"), col("component").as("sc"))
+      .join(cc.select(col("id"), col("component").as("c")), "id")
+      .groupBy("sc").agg(countDistinct("c").as("d"))
+      .filter(col("d") > 1).count()
+    assert(spans == 0, s"$spans split components span CC components")
+    // golden is keyed by the REPAIRED assignments
+    assert(res.golden.count() ==
+      split.select("component").distinct().count())
+    // idempotent resume through the split chain
+    val res2 = Pipeline.run(spark, sf0001, root, cfg,
+      splitMaxMembers = Some(2), splitMinScore = 99.5)
+    assert(res2.stages.forall(_.resumed),
+      s"expected full resume, got ${res2.stages.filterNot(_.resumed).map(_.table)}")
+  }
+
   test("match stage salts from the snapshot statistic, not an in-query scan") {
     val root = Files.createTempDirectory("graft_pipe").toString
     val res = Pipeline.run(spark, sf0001, root, cfg)
