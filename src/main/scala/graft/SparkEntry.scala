@@ -1281,6 +1281,18 @@ object SparkEntry {
       graft.util.CheckpointHygiene.free(edges)
       out
     }),
+    // Soft-TF-IDF enrichment (J38): the Cohen-Ravikumar-Fienberg
+    // hybrid — TF-IDF weights with Jaro-Winkler-soft token alignment
+    // at theta=0.9 — over the accepted address matches. Identical
+    // records score exactly 1.0 (L2-normalized self-alignment).
+    "a_match_softtfidf" -> ((s, dir) => {
+      val recs = addrNorm(AddressFixture.left(s, dir))
+        .unionAll(addrNorm(AddressFixture.rightAll(s, dir)))
+        .select(col("id"), col("address_norm"))
+      val w = graft.similarity.SoftTfIdf.weights(
+        recs, idCol = "id", textCol = "address_norm")
+      graft.similarity.SoftTfIdf.enrich(addrMatchLev(s, dir), w, theta = 0.9)
+    }),
     // Oversized-cluster split by threshold escalation (A19): clusters
     // beyond maxMembers=6 re-cluster their internal edges at the
     // escalated score 95 — weak bridge edges (the chaining culprits)
@@ -1552,6 +1564,17 @@ object SparkEntry {
     "a_match_incr" -> withAddrCtes(s"SELECT * FROM ($addrMatchBody)"),
     // incremental == full (star-contraction argument in the
     // runIncremental scaladoc), so the oracle is a_clusters' verbatim
+    // soft-TF-IDF: weights + best-match alignment mirrored end to end
+    // (jaro_winkler_similarity = the proven JaroWinkler twin)
+    "a_match_softtfidf" -> withAddrCtes {
+      val normL = Normalizer.normalizeAddressSqlDuck("address")
+      s"""
+         |, m AS ($addrMatchBody),
+         |recs AS (SELECT id, $normL AS t FROM addr_left
+         |         UNION ALL SELECT id, $normL AS t FROM addr_right),
+         |${graft.similarity.SoftTfIdf.enrichSqlDuck(0.9)}
+         |""".stripMargin
+    },
     // split: the full CC chain, then the escalated-threshold
     // re-closure of oversized clusters — the whole rule mirrored
     "a_clusters_split" -> withAddrCtes(

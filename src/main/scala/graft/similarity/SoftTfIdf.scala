@@ -1,0 +1,137 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Soft-TF-IDF pair similarity — the hybrid token/character measure of
+  * Cohen, Ravikumar & Fienberg ("A Comparison of String Distance
+  * Metrics for Name-Matching Tasks", IJCAI IIWeb 2003), consistently
+  * among the strongest name/address matchers in their evaluation:
+  * TF-IDF's rare-token emphasis, but with tokens matched SOFTLY (by
+  * Jaro-Winkler ≥ θ) instead of exact equality, so `"ankr"` still
+  * aligns with `"ankara"` while both keep their corpus weights.
+  *
+  *   SoftTFIDF(S,T) = Σ_{w ∈ S, close(w,T) ≠ ∅}
+  *                      V(w,S) · V(best(w,T),T) · jw(w, best(w,T))
+  *
+  * with V the L2-normalized `ln(tf+1) · idf` token weight (idf is the
+  * sklearn-smooth `ln((1+N)/(1+df)) + 1` — the same convention as
+  * [[graft.ml.TfIdf]]), `close(w,T) = {t ∈ T : jw(w,t) ≥ θ}` and
+  * `best` the argmax by (jw DESC, token ASC) — the deterministic
+  * tie-break. The measure is asymmetric (left tokens seek right
+  * partners), as in the original; callers wanting symmetry average the
+  * two directions.
+  *
+  * Why it is relational, not a scalar Expression like [[MongeElkan]]:
+  * the weights need corpus-level document frequencies, so the right
+  * Spark shape is (id, token, weight) tables joined under each
+  * candidate pair — the per-pair token×token work is identical to
+  * Monge-Elkan's, but the idf join rides the ordinary shuffle
+  * machinery and never materializes a vocabulary on the driver.
+  *
+  * Scale shape: weights are two linear aggregations over the token
+  * explode (tf, df) plus a norm window; enrichment explodes
+  * |S|·|T| rows per CANDIDATE pair only (it runs after blocking /
+  * matching, never all-pairs), with the per-pair fan-out bounded by
+  * token counts exactly like the Monge-Elkan scorer the family
+  * already carries. Determinism: the only float aggregation is the
+  * final per-pair sum, rounded to 6 decimals (the house convention
+  * [[graft.ml.TfIdf.cosineTopK]] hash-proves cross-engine). */
+object SoftTfIdf {
+
+  /** L2-normalized soft-TF-IDF token weights over a corpus:
+    * (id, term, v). Whitespace tokens of `textCol`, tf with
+    * multiplicity, sklearn-smooth idf over the corpus' N documents. */
+  def weights(
+      corpus: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text"): DataFrame = {
+    val nDocs = corpus.count()
+    val tf = corpus
+      .select(col(idCol).as("id"),
+        explode(filter(split(col(textCol), "\\s+"), t => t =!= "")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val idf = tf.groupBy("term").agg(countDistinct("id").as("df"))
+      .withColumn("idf",
+        log((lit(1.0) + nDocs.toDouble) / (lit(1.0) + col("df"))) + 1.0)
+      .select("term", "idf")
+    val weighted = tf.join(idf, "term")
+      .withColumn("w", log(col("tf") + 1.0) * col("idf"))
+    val norm = Window.partitionBy("id")
+    weighted
+      .withColumn("v", col("w") / sqrt(sum(col("w") * col("w")).over(norm)))
+      .select("id", "term", "v")
+  }
+
+  /** Enrich candidate pairs with `soft_tfidf` (rounded to 6 decimals;
+    * 0.0 when no token pair clears θ — the measure's value on
+    * token-disjoint inputs, not missing evidence). `w` is a
+    * [[weights]] table covering BOTH sides' ids. */
+  def enrich(
+      pairs: DataFrame,
+      w: DataFrame,
+      theta: Double = 0.9,
+      leftIdCol: String = "left_id",
+      rightIdCol: String = "right_id"): DataFrame = {
+    val lw = w.select(col("id").as(leftIdCol),
+      col("term").as("l_term"), col("v").as("l_v"))
+    val rw = w.select(col("id").as(rightIdCol),
+      col("term").as("r_term"), col("v").as("r_v"))
+    val cand = pairs.select(leftIdCol, rightIdCol)
+      .join(lw, Seq(leftIdCol))
+      .join(rw, Seq(rightIdCol))
+      .withColumn("sim", FuzzFunctions.jaro_winkler(col("l_term"), col("r_term")))
+      .filter(col("sim") >= theta)
+    val best = Window.partitionBy(col(leftIdCol), col(rightIdCol), col("l_term"))
+      .orderBy(col("sim").desc, col("r_term").asc)
+    val sums = cand.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .groupBy(leftIdCol, rightIdCol)
+      .agg(round(sum(col("l_v") * col("r_v") * col("sim")), 6).as("soft_tfidf"))
+    pairs.join(sums, Seq(leftIdCol, rightIdCol), "left")
+      .withColumn("soft_tfidf", coalesce(col("soft_tfidf"), lit(0.0)))
+  }
+
+  /** DuckDB mirror as CTEs + final SELECT, continuing a chain that
+    * already defines `recs(id, t)` (the corpus, both sides) and
+    * `m(left_id, right_id, score)` (the candidate pairs).
+    * `jaro_winkler_similarity` is the proven cross-engine twin of the
+    * [[JaroWinkler]] expression (m_match_jw). */
+  def enrichSqlDuck(theta: Double): String =
+    s"""toks AS (
+       |  SELECT id, unnest(list_filter(string_split_regex(t, '\\s+'),
+       |                                x -> x <> '')) AS term
+       |  FROM recs),
+       |tf AS (SELECT id, term, CAST(count(*) AS DOUBLE) AS tf
+       |       FROM toks GROUP BY id, term),
+       |idf AS (
+       |  SELECT term,
+       |         ln((1.0 + (SELECT count(*) FROM recs)) / (1.0 + count(DISTINCT id))) + 1.0 AS idf
+       |  FROM tf GROUP BY term),
+       |wt AS (
+       |  SELECT id, term, w / sqrt(sum(w * w) OVER (PARTITION BY id)) AS v
+       |  FROM (SELECT tf.id, tf.term, ln(tf.tf + 1.0) * idf.idf AS w
+       |        FROM tf JOIN idf ON tf.term = idf.term)),
+       |cand AS (
+       |  SELECT m.left_id, m.right_id, lw.term AS l_term, lw.v AS l_v,
+       |         rw.term AS r_term, rw.v AS r_v,
+       |         jaro_winkler_similarity(lw.term, rw.term) AS sim
+       |  FROM m
+       |  JOIN wt lw ON lw.id = m.left_id
+       |  JOIN wt rw ON rw.id = m.right_id),
+       |best AS (
+       |  SELECT left_id, right_id, l_v, r_v, sim,
+       |         row_number() OVER (PARTITION BY left_id, right_id, l_term
+       |                            ORDER BY sim DESC, r_term ASC) AS rn
+       |  FROM cand WHERE sim >= CAST($theta AS DOUBLE)),
+       |sums AS (
+       |  SELECT left_id, right_id,
+       |         round(sum(l_v * r_v * sim), 6) AS soft_tfidf
+       |  FROM best WHERE rn = 1 GROUP BY left_id, right_id)
+       |SELECT m.left_id, m.right_id, m.score,
+       |       coalesce(s.soft_tfidf, 0.0) AS soft_tfidf
+       |FROM m LEFT JOIN sums s
+       |  ON m.left_id = s.left_id AND m.right_id = s.right_id
+       |""".stripMargin
+}
