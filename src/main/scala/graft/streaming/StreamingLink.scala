@@ -65,7 +65,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `golden` (one canonical row per entity cluster, via the
   * touched-component incremental fold
   * [[graft.cluster.GoldenRecord.mergeIncremental]]) — closing the full
-  * streaming ER loop match → cluster → golden in committed snapshots. */
+  * streaming ER loop match → cluster → golden in committed snapshots.
+  *
+  * With `commitDrift = true` it also commits one
+  * [[graft.cluster.AssignmentDrift.drift]] metrics row per folded
+  * batch (prior clusters vs the fold's output) into a `drift` table —
+  * the per-batch monitoring feed whose invariants
+  * (n_split_components = 0, pair_recall ∈ {1.0, NULL}) alarm on state
+  * corruption the moment a fold violates them. */
 object StreamingLink {
 
   /** Fold ONE micro-batch of right rows into the `matches` and
@@ -91,7 +98,8 @@ object StreamingLink {
       shingleMode: String = "char",
       minSim: Double = 0.5,
       simKind: String = "jaccard",
-      commitGolden: Boolean = false): Unit = {
+      commitGolden: Boolean = false,
+      commitDrift: Boolean = false): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     // The scored candidate set returns exactly (left_id, right_id,
@@ -213,6 +221,34 @@ object StreamingLink {
       TableIO.expireSnapshots(root, "members", keepSnapshots)
       TableIO.expireSnapshots(root, "golden", keepSnapshots)
     }
+    // Optional per-batch drift metrics (A20): the committed monitoring
+    // row the north rule's "per-partition lineage + metrics" clause
+    // asks for — one [[graft.cluster.AssignmentDrift.drift]] row per
+    // folded batch (prior clusters vs the fold's output), accumulated
+    // in a `drift` snapshot table keyed by batch id. The incremental
+    // fold only adds edges, so every committed row must show
+    // n_split_components = 0 and pair_recall ∈ {1.0, NULL} — a
+    // violation in this table is the earliest machine-readable alarm
+    // for state corruption. Replay-idempotent: an already-folded
+    // batch's id is left-anti'd out, so its original row (the one
+    // measuring the REAL fold) is never overwritten by the replay's
+    // zero-churn measurement.
+    if (commitDrift) {
+      val priorAsg = priorClusters.getOrElse(clusters.limit(0))
+      val drift = graft.cluster.AssignmentDrift.drift(priorAsg, clusters)
+        .withColumn("batch", org.apache.spark.sql.functions.lit(batchId))
+      val driftTable = TableIO.latestSnapshotId(root, "drift") match {
+        case Some(_) =>
+          val existing = TableIO.readTable(spark, root, "drift")
+          existing.unionByName(
+            drift.join(existing.select("batch").distinct(),
+              Seq("batch"), "left_anti"))
+        case None => drift
+      }
+      TableIO.commitSnapshot(driftTable, root, "drift",
+        Map("stage" -> "drift", "batch" -> batchId.toString))
+      TableIO.expireSnapshots(root, "drift", keepSnapshots)
+    }
     // the snapshots are the durable copies — release the eager
     // checkpoints so an unbounded stream doesn't pin one CC result +
     // one scored batch in executor storage per micro-batch
@@ -250,12 +286,13 @@ object StreamingLink {
       shingleMode: String = "char",
       minSim: Double = 0.5,
       simKind: String = "jaccard",
-      commitGolden: Boolean = false): StreamingQuery = {
+      commitGolden: Boolean = false,
+      commitDrift: Boolean = false): StreamingQuery = {
     val fold: (Dataset[Row], Long) => Unit = (batch, id) =>
       foldBatch(batch.toDF(), left, cfg, root, idCol, textCol, hasGeo, id,
         keepSnapshots, ccMaxIter, ccCheckEvery,
         generator, shingleK, numHashes, bands, shingleMode, minSim, simKind,
-        commitGolden)
+        commitGolden, commitDrift)
     rightStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(fold)

@@ -217,6 +217,57 @@ class StreamingLinkSpec extends SparkSpec {
     }
   }
 
+  test("commitDrift stream commits one invariant-clean metrics row per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sdrift").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdrift_ck").toString
+
+    val left = norm(AddressFixture.left(spark, sf0001))
+    val rows = AddressFixture.rightAll(spark, sf0001)
+      .select("id", "address").collect()
+      .map(r => RightRow(r.getString(0), r.getString(1)))
+
+    val mem = MemoryStream[RightRow]
+    val q = StreamingLink.incrementalLinkSink(
+      norm(mem.toDF()), left, cfg, root, ckpt,
+      idCol = "id", textCol = "address_norm", commitDrift = true)
+    try {
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val drift = TableIO.readTable(spark, root, "drift")
+      val got = drift.orderBy("batch").collect()
+      assert(got.length == 3, s"expected 3 drift rows, got ${got.length}")
+      val idx = drift.columns.zipWithIndex.toMap
+      got.foreach { r =>
+        assert(r.getLong(idx("n_split_components")) == 0L,
+          s"batch ${r.getLong(idx("batch"))} reports splits")
+        val rec = if (r.isNullAt(idx("pair_recall"))) None
+          else Some(r.getDouble(idx("pair_recall")))
+        assert(rec.forall(_ == 1.0),
+          s"batch ${r.getLong(idx("batch"))} pair_recall $rec != 1.0")
+      }
+      // first batch folds against an empty prior: everything is new
+      assert(got.head.getLong(idx("n_common")) == 0L &&
+        got.head.getLong(idx("n_added")) > 0L)
+      // same-batch-id replay (the foreachBatch failure-redelivery
+      // contract): the original row for that id survives — the
+      // replay's zero-churn measurement is anti-joined out
+      val before = drift.collect().map(_.toString).sorted.toSeq
+      import spark.implicits._
+      StreamingLink.foldBatch(
+        rows.take(rows.length / 3 + 1).toSeq.toDF("id", "address")
+          .transform(norm), left, cfg, root,
+        idCol = "id", textCol = "address_norm", batchId = 0L,
+        commitDrift = true)
+      val after = TableIO.readTable(spark, root, "drift")
+        .collect().map(_.toString).sorted.toSeq
+      assert(after == before, "same-id replay changed the drift table")
+    } finally q.stop()
+  }
+
   test("setsim-generator stream drains to the exact batch set-sim match") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
