@@ -140,6 +140,33 @@ class PlanSpec extends SparkSpec {
     assert(offending.isEmpty, s"shingle array shuffled:\n${offending.mkString("\n---\n")}")
   }
 
+  test("soft-tfidf enrich plan: id-keyed joins only, no cartesian") {
+    val recs = SparkEntry.addrNorm(AddressFixture.left(spark, sf0001))
+      .unionAll(SparkEntry.addrNorm(AddressFixture.rightAll(spark, sf0001)))
+      .select(col("id"), col("address_norm").as("text"))
+    val pairs = SparkEntry.addrMatchLev(spark, sf0001).localCheckpoint(true)
+    val w = graft.similarity.SoftTfIdf.weights(recs)
+    val p = plan(graft.similarity.SoftTfIdf.enrich(pairs, w))
+    assert(!p.contains("CartesianProduct"),
+      "soft-tfidf candidate explode degenerated to a cartesian")
+    // the token×token fan-out must come from equi-joins on the pair
+    // ids, never a nested-loop over the corpus
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in the enrich plan:\n$p")
+    graft.util.CheckpointHygiene.free(pairs)
+  }
+
+  test("assignment drift plan: no cartesian beyond the 1-row metric assembly") {
+    val prior = SparkEntry.addrClusters(spark, sf0001).localCheckpoint(true)
+    val p = plan(graft.cluster.AssignmentDrift.drift(prior, prior))
+    // the only nested-loop joins allowed are the single-row aggregate
+    // cross-joins that assemble the metrics row; the id-keyed
+    // full-outer join and the cell aggregations must be exchanges
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Exchange"), "drift plan lost its id-keyed shuffle")
+    graft.util.CheckpointHygiene.free(prior)
+  }
+
   test("salted match plan: hot keys broadcast-joined, no isin literals") {
     val conv = SparkEntry.convNorm(spark, sf0001)
     val m = Matcher.matchPairs(
