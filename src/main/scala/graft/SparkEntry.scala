@@ -1208,6 +1208,20 @@ object SparkEntry {
       graft.cluster.GoldenRecord.medoid(
         recs, addrClusters(s, dir), idCol = "id", textCol = "address_norm")
     }),
+    // Multi-field survivorship (A15b): per-field rules — most-complete
+    // for the free-text field, majority vote for the extracted digit
+    // run — NULL-skipping, one stacked shuffle for both fields. The
+    // production golden-record shape (fields may survive from
+    // different members).
+    "a_golden_multi" -> ((s, dir) => {
+      val recs = addrNorm(AddressFixture.left(s, dir))
+        .unionAll(addrNorm(AddressFixture.rightAll(s, dir)))
+        .select(col("id"), col("address_norm"),
+          regexp_extract(col("address_norm"), "[0-9]+", 0).as("digits"))
+      graft.cluster.GoldenRecord.mergeFields(
+        recs, addrClusters(s, dir),
+        fields = Seq("address_norm" -> "longest", "digits" -> "mode"))
+    }),
     // Incremental survivorship: prior clusters (half the match edges
     // by deterministic pair hash) -> prior golden table, then the
     // incremental-CC fold grows/merges clusters and mergeIncremental
@@ -1694,6 +1708,20 @@ object SparkEntry {
          |    UNION ALL SELECT id, $normL AS t FROM addr_right) s
          |  JOIN cc c ON s.id = c.id),
          |${graft.cluster.GoldenRecord.medoidSqlDuck()}
+         |""".stripMargin
+    },
+    "a_golden_multi" -> withAddrCtes {
+      val normL = Normalizer.normalizeAddressSqlDuck("address")
+      s"""
+         |, $addrCcCtes,
+         |grecN AS (
+         |  SELECT c.component, s.id, s.address_norm,
+         |         regexp_extract(s.address_norm, '[0-9]+', 0) AS digits
+         |  FROM (SELECT id, $normL AS address_norm FROM addr_left
+         |        UNION ALL SELECT id, $normL AS address_norm FROM addr_right) s
+         |  JOIN cc c ON s.id = c.id),
+         |${graft.cluster.GoldenRecord.mergeFieldsSqlDuck(
+             Seq("address_norm" -> "longest", "digits" -> "mode"))}
          |""".stripMargin
     },
     // incremental == full (touched-component fold proof in the

@@ -59,6 +59,102 @@ object GoldenRecord {
     scalar.join(mode, Seq("component")).join(longest, Seq("component"))
   }
 
+  /** Multi-field survivorship — the production golden-record shape:
+    * one canonical row per cluster with a PER-FIELD rule (`"mode"` =
+    * majority vote, `"longest"` = most-complete), NULLs skipped per
+    * field (a member missing a field never outvotes members that have
+    * it; a field null across the whole cluster stays NULL). This is
+    * the per-attribute fusion step of Christen ch. 2.5 / Talburt —
+    * and exactly the "mixed-field Franken-record" [[medoid]]'s
+    * scaladoc contrasts: fields may come from different members.
+    *
+    * Scale shape: the N field columns are STACKED into
+    * (component, field, value) rows once — one explode, one
+    * data-sized groupBy for all fields together, windows only over
+    * the distinct-value table, then a tiny per-component pivot. Cost
+    * is one shuffle of the stacked data regardless of N, never N
+    * per-field shuffles.
+    *
+    * @param fields (column, rule) pairs; rule ∈ {"mode", "longest"};
+    *               output column is named `<column>_<rule>`
+    * @return (component, canonical_id, n_members, <column>_<rule>…) */
+  def mergeFields(
+      records: DataFrame,
+      assignments: DataFrame,
+      fields: Seq[(String, String)],
+      idCol: String = "id",
+      componentCol: String = "component"): DataFrame = {
+    require(fields.nonEmpty && fields.forall(f => f._2 == "mode" || f._2 == "longest"),
+      s"rules must be mode|longest: $fields")
+    require(fields.map(_._1).distinct.size == fields.size,
+      s"field columns must be distinct (alias a column to apply two rules): $fields")
+    val rec = records
+      .join(assignments.select(col(idCol).as(idCol), col(componentCol).as("component")),
+        Seq(idCol))
+    val scalar = rec.groupBy(col("component"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
+    val stacked = rec.select(col("component"),
+      explode(array(fields.map { case (c, _) =>
+        struct(lit(c).as("field"), col(c).cast("string").as("value"))
+      }: _*)).as("fv"))
+      .select(col("component"), col("fv.field").as("field"), col("fv.value").as("value"))
+      .filter(col("value").isNotNull)
+    val counts = stacked.groupBy("component", "field", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val wMode = Window.partitionBy("component", "field")
+      .orderBy(col("cnt").desc, col("value").asc)
+    val wLong = Window.partitionBy("component", "field")
+      .orderBy(length(col("value")).desc, col("value").asc)
+    val isPicked = fields.map { case (c, rule) =>
+      col("field") === c && (if (rule == "mode") col("rn_mode") else col("rn_long")) === 1
+    }.reduce(_ || _)
+    val picked = counts
+      .withColumn("rn_mode", row_number().over(wMode))
+      .withColumn("rn_long", row_number().over(wLong))
+      .filter(isPicked)
+    val pivoted = picked.groupBy("component")
+      .agg(fields.map { case (c, rule) =>
+        max(when(col("field") === c, col("value"))).as(s"${c}_$rule")
+      }.head, fields.tail.map { case (c, rule) =>
+        max(when(col("field") === c, col("value"))).as(s"${c}_$rule")
+      }: _*)
+    // left join: a component whose every member is NULL in every field
+    // still gets its scalar row (field columns NULL)
+    scalar.join(pivoted, Seq("component"), "left")
+  }
+
+  /** Mirror of [[mergeFields]]: expects `grecN(component, id, <cols>…)`
+    * (the already-joined member records with the raw field columns) in
+    * scope; CTE chain + final SELECT matching [[mergeFields]]'s output
+    * column names. */
+  def mergeFieldsSqlDuck(fields: Seq[(String, String)]): String = {
+    val stacked = fields.map { case (c, _) =>
+      s"SELECT component, '$c' AS field, CAST($c AS VARCHAR) AS value FROM grecN WHERE $c IS NOT NULL"
+    }.mkString("\n       UNION ALL ")
+    val pickedCond = fields.map { case (c, rule) =>
+      s"(field = '$c' AND ${if (rule == "mode") "rn_mode" else "rn_long"} = 1)"
+    }.mkString(" OR ")
+    val pivotCols = fields.map { case (c, rule) =>
+      s"max(CASE WHEN field = '$c' THEN value END) AS ${c}_$rule"
+    }.mkString(", ")
+    val outCols = fields.map { case (c, rule) => s"p.${c}_$rule" }.mkString(", ")
+    s"""gm_scalar AS (SELECT component, min(id) AS canonical_id,
+       |                     count(*) AS n_members FROM grecN GROUP BY component),
+       |gm_st AS ($stacked),
+       |gm_cnt AS (SELECT component, field, value, count(*) AS cnt
+       |           FROM gm_st GROUP BY component, field, value),
+       |gm_rank AS (SELECT component, field, value,
+       |  row_number() OVER (PARTITION BY component, field
+       |                     ORDER BY cnt DESC, value ASC) AS rn_mode,
+       |  row_number() OVER (PARTITION BY component, field
+       |                     ORDER BY length(value) DESC, value ASC) AS rn_long
+       |  FROM gm_cnt),
+       |gm_pick AS (SELECT component, field, value FROM gm_rank WHERE $pickedCond),
+       |gm_piv AS (SELECT component, $pivotCols FROM gm_pick GROUP BY component)
+       |SELECT s.component, s.canonical_id, s.n_members, $outCols
+       |FROM gm_scalar s LEFT JOIN gm_piv p ON s.component = p.component""".stripMargin
+  }
+
   /** The recompute set for ANY per-cluster derived table between two
     * assignment snapshots: (labels to recompute, prior labels to
     * drop). A component is untouched ⇔ none of its members changed

@@ -138,6 +138,43 @@ class GoldenRecordSpec extends SparkSpec {
     golden.unpersist(); clusters.unpersist()
   }
 
+  test("multi-field survivorship: per-field rules, null skip, all-null stays null") {
+    import spark.implicits._
+    // cluster 1: name mode should pick the 2-vote "ankara"; addr
+    // longest should pick the long string even though it appears once;
+    // b2's NULL name must not outvote; cluster 2 is all-null in name
+    val r = Seq(
+      ("a1", "ankara", "kizilay cd 5"),
+      ("a2", "ankara", null.asInstanceOf[String]),
+      ("a3", "ank", "kizilay caddesi no 5 cankaya"),
+      ("b1", null.asInstanceOf[String], "x"),
+      ("b2", null.asInstanceOf[String], "yy")
+    ).toDF("id", "name", "addr")
+    val a = asg("a1" -> 1L, "a2" -> 1L, "a3" -> 1L, "b1" -> 2L, "b2" -> 2L)
+    val got = GoldenRecord.mergeFields(
+      r, a, fields = Seq("name" -> "mode", "addr" -> "longest"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        x.getString(3), x.getString(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "a1", 3L, "ankara", "kizilay caddesi no 5 cankaya"),
+      (2L, "b1", 2L, null, "yy")))
+  }
+
+  test("multi-field survivorship agrees with single-column merge per rule") {
+    val r = recs((1 to 30).map(i => (s"id$i", s"value ${i % 4} ${"x" * (i % 6)}")): _*)
+    val a = asg((1 to 30).map(i => (s"id$i", (i % 5).toLong)): _*)
+    val multi = GoldenRecord.mergeFields(
+      r.withColumn("text2", col("text")), a,
+      fields = Seq("text" -> "mode", "text2" -> "longest"))
+    val single = GoldenRecord.merge(r, a)
+    val j = multi.select(col("component"),
+        col("text_mode").as("mm"), col("text2_longest").as("ml"))
+      .join(single.select(col("component"), col("text_mode"), col("text_longest")),
+        Seq("component"))
+    assert(j.filter(col("mm") =!= col("text_mode") ||
+      col("ml") =!= col("text_longest")).count() == 0)
+  }
+
   test("incremental survivorship == full under growth, merge and a smaller-id join") {
     // records: clusters A={a1,a2}, B={b1}, C={c1} at prior; the fold
     // then (1) grows A with a3, (2) merges B into A — label stays 1 —
