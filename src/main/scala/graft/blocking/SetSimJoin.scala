@@ -438,40 +438,56 @@ object SetSimJoin {
       right: DataFrame,
       minOverlap: Int,
       idCol: String = "id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      /** false = return the lazy plan without the final eager
+        * checkpoint (plan diagnostics only — BenchExtra's dump). */
+      eagerResult: Boolean = true): DataFrame = {
     require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
     val c = minOverlap
+    // Each side's (id, tok) membership feeds THREE consumers (the global
+    // df counts, the prefix derivation, and the verify token sets) — the
+    // r05 plan recomputed the tokenize/explode/distinct chain per
+    // consumer. Persist both memberships for the build, materialize the
+    // (candidate-bounded, tiny) result eagerly, release before returning
+    // — bit-identical output, one membership computation per side (r06).
     val lm = MetaBlocking.membership(left, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rm = MetaBlocking.membership(right, idCol, textCol)
-    val dfq = lm.select("tok").unionAll(rm.select("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    def prefix(m: DataFrame): DataFrame = {
-      val byRank = Window.partitionBy("id").orderBy(col("cnt").asc, col("tok").asc)
-      m.join(dfq, Seq("tok"))
-        .withColumn("pos", row_number().over(byRank))
-        .withColumn("len", count(lit(1)).over(Window.partitionBy("id")))
-        .filter(col("pos") <= col("len") - c + 1) // exact integer bound
-        .select("id", "tok", "pos", "len")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = {
+      val dfq = lm.select("tok").unionAll(rm.select("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      def prefix(m: DataFrame): DataFrame = {
+        val byRank = Window.partitionBy("id").orderBy(col("cnt").asc, col("tok").asc)
+        m.join(dfq, Seq("tok"))
+          .withColumn("pos", row_number().over(byRank))
+          .withColumn("len", count(lit(1)).over(Window.partitionBy("id")))
+          .filter(col("pos") <= col("len") - c + 1) // exact integer bound
+          .select("id", "tok", "pos", "len")
+      }
+      val cand = prefix(lm)
+        .select(col("id").as("left_id"), col("tok"), col("pos").as("pa"), col("len").as("la"))
+        .join(prefix(rm)
+          .select(col("id").as("right_id"), col("tok"), col("pos").as("pb"), col("len").as("lb")),
+          Seq("tok"))
+        .groupBy("left_id", "right_id", "la", "lb")
+        .agg(min(col("pa")).as("pa0"), min(col("pb")).as("pb0"))
+        // positional filter, integer-exact (prune-only)
+        .filter(least(col("la") - col("pa0"), col("lb") - col("pb0")) + 1 >= c)
+        .select("left_id", "right_id")
+      def sets(m: DataFrame, side: String) =
+        m.groupBy(col("id").as(side + "_id"))
+          .agg(sort_array(collect_list(col("tok"))).as(side + "_ts"))
+      cand
+        .join(sets(lm, "l").withColumnRenamed("l_id", "left_id"), Seq("left_id"))
+        .join(sets(rm, "r").withColumnRenamed("r_id", "right_id"), Seq("right_id"))
+        .select(col("left_id"), col("right_id"),
+          size(array_intersect(col("l_ts"), col("r_ts"))).cast("bigint").as("overlap"))
+        .filter(col("overlap") >= c)
     }
-    val cand = prefix(lm)
-      .select(col("id").as("left_id"), col("tok"), col("pos").as("pa"), col("len").as("la"))
-      .join(prefix(rm)
-        .select(col("id").as("right_id"), col("tok"), col("pos").as("pb"), col("len").as("lb")),
-        Seq("tok"))
-      .groupBy("left_id", "right_id", "la", "lb")
-      .agg(min(col("pa")).as("pa0"), min(col("pb")).as("pb0"))
-      // positional filter, integer-exact (prune-only)
-      .filter(least(col("la") - col("pa0"), col("lb") - col("pb0")) + 1 >= c)
-      .select("left_id", "right_id")
-    def sets(m: DataFrame, side: String) =
-      m.groupBy(col("id").as(side + "_id"))
-        .agg(sort_array(collect_list(col("tok"))).as(side + "_ts"))
-    cand
-      .join(sets(lm, "l").withColumnRenamed("l_id", "left_id"), Seq("left_id"))
-      .join(sets(rm, "r").withColumnRenamed("r_id", "right_id"), Seq("right_id"))
-      .select(col("left_id"), col("right_id"),
-        size(array_intersect(col("l_ts"), col("r_ts"))).cast("bigint").as("overlap"))
-      .filter(col("overlap") >= c)
+    if (!eagerResult) result
+    else try result.localCheckpoint(true)
+    finally { lm.unpersist(blocking = false); rm.unpersist(blocking = false) }
   }
 
   /** Full mirror of [[simJoin]] from normalized sides `ln(id, t)` /

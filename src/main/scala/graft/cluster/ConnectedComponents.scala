@@ -40,6 +40,57 @@ object ConnectedComponents {
     * localCheckpoint). */
   case class CcCheckpoint(root: String, table: String, everyRounds: Int = 1)
 
+  // -- pure round algebra (object-level so plan diagnostics can reuse) ----
+
+  private def canon(e: DataFrame): DataFrame =
+    e.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+  private def neighbors(ed: DataFrame): DataFrame =
+    ed.select(col("u").as("a"), col("v").as("b"))
+      .union(ed.select(col("v").as("a"), col("u").as("b")))
+
+  /** Attach m = min(Γ⁺(a)) to every (a, b) neighbor row. ONE exchange:
+    * an unbounded `min` window partitioned by `a` — the previous
+    * groupBy("a") + join-back formulation paid two exchanges of the
+    * neighbor set per half-step (agg shuffle + join shuffle), and with
+    * two half-steps per round the exchange count is what a near-converged
+    * round's wall clock is made of (guide §2.4: window functions keyed
+    * like the aggregation share one partitioning). Identical output
+    * (per-row m over the same group). */
+  private def withMin(nb: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("a")
+    nb.withColumn("m", least(col("a"), min(col("b")).over(w)))
+  }
+
+  /** One alternating round (large-star then small-star), pure plan — no
+    * action, no persistence. Exposed private[graft] so BenchExtra can
+    * dump the round's physical plan (the loop itself is iterative and
+    * has no single static plan to print). */
+  private[graft] def oneRound(ed: DataFrame): DataFrame = {
+    // large-star: the emissions ALONE are the next edge set (Kiveris
+    // Lemma: connectivity is preserved, and no non-isolated vertex
+    // drops out — if min(Γ⁺(a)) < a then a has a neighbor c < a,
+    // and c's own large-star emits (a, m_c)).
+    val e1 = withMin(neighbors(ed))
+      .filter(col("b") > col("a"))
+      .select(col("b").as("u"), col("m").as("v"))
+
+    // small-star, single pass: each (a, b, m) row yields (b, m) when
+    // b <= a, and every row carries (a, m) — one explode instead of
+    // two scans of the aggregated frame.
+    val small = withMin(neighbors(e1))
+      .select(explode(
+        when(col("b") <= col("a"), array(
+          struct(col("b").as("u"), col("m").as("v")),
+          struct(col("a").as("u"), col("m").as("v"))))
+        .otherwise(array(
+          struct(col("a").as("u"), col("m").as("v"))))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    canon(small)
+  }
+
   /** @param edges DataFrame with two string/integral columns naming an
     *              undirected edge (self-loops and duplicates welcome)
     * @param checkEvery convergence-check cadence: how many
@@ -70,11 +121,6 @@ object ConnectedComponents {
       checkEvery: Int = 1,
       strict: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
-
-    def canon(e: DataFrame): DataFrame =
-      e.filter(col("u") =!= col("v"))
-        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-        .distinct()
 
     // Superseded round checkpoints are unpersisted as the loop advances
     // (below) — without this a long run pins every round's edge set in
@@ -109,17 +155,6 @@ object ConnectedComponents {
       (r.getLong(0), r.getLong(1))
     }
 
-    def neighbors(ed: DataFrame): DataFrame =
-      ed.select(col("u").as("a"), col("v").as("b"))
-        .union(ed.select(col("v").as("a"), col("u").as("b")))
-
-    def withMin(nb: DataFrame): DataFrame = {
-      val mins = nb.groupBy("a")
-        .agg(min(col("b")).as("minb"))
-        .select(col("a"), least(col("a"), col("minb")).as("m"))
-      nb.join(mins, "a")
-    }
-
     val sig0 = signature(e)
     val inputSig = s"${sig0._1}_${sig0._2}"
 
@@ -144,44 +179,6 @@ object ConnectedComponents {
     // line per round with edge count + wall — the first thing to look
     // at when clustering wall time surprises at any scale
     val debug = sys.env.get("GRAFT_CC_DEBUG").exists(_ == "1")
-
-    /** One alternating round (large-star then small-star), pure plan —
-      * no action, no persistence; rounds chain until the caller
-      * persists + checks. */
-    def oneRound(ed: DataFrame): DataFrame = {
-      // large-star: the emissions ALONE are the next edge set (Kiveris
-      // Lemma: connectivity is preserved, and no non-isolated vertex
-      // drops out — if min(Γ⁺(a)) < a then a has a neighbor c < a,
-      // and c's own large-star emits (a, m_c)). An earlier version
-      // also unioned the previous edges as belt-and-braces; that
-      // doubled the canon/distinct input per round for nothing.
-      val nb1 = neighbors(ed)
-      // no canon/distinct between the half-steps (matching the original
-      // MapReduce formulation): large-star emits no self-loops (b > a
-      // and m <= a < b), small-star's min-aggregation is duplicate- and
-      // orientation-insensitive, and the duplicate rate across source
-      // vertices is small — skipping the dedup exchange removes one
-      // shuffle stage per round, which on near-converged graphs IS the
-      // round's cost
-      val e1 = withMin(nb1)
-        .filter(col("b") > col("a"))
-        .select(col("b").as("u"), col("m").as("v"))
-
-      // small-star, single pass: each (a, b, m) row yields (b, m) when
-      // b <= a, and every row carries (a, m) — one explode instead of
-      // two scans of the aggregated+joined frame (withMin is a
-      // groupBy + join; computing it twice doubled the round's work)
-      val nb2 = neighbors(e1)
-      val small = withMin(nb2)
-        .select(explode(
-          when(col("b") <= col("a"), array(
-            struct(col("b").as("u"), col("m").as("v")),
-            struct(col("a").as("u"), col("m").as("v"))))
-          .otherwise(array(
-            struct(col("a").as("u"), col("m").as("v"))))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
-      canon(small)
-    }
 
     var sig = sig0
     var converged = false

@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 60-bit md5-derived hash, seedable for independent hash functions. */
+  /** 60-bit md5-derived hash, seedable for independent hash functions.
+    * r06: [[Md5Prefix60]] computes the same value without the
+    * hex-string/`conv` round-trip (bit-identical, spec-tested); the
+    * DuckDB mirror below is untouched. */
   def portableHash(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftShim.column(Md5Prefix60(
+      org.apache.spark.sql.GraftShim.expression(concat(lit(s"$seed:"), c))))
 
   def portableHashSqlDuck(e: String, seed: Int): String =
     s"CAST(('0x' || substr(md5('$seed:' || $e), 1, 15)) AS BIGINT)"
@@ -51,16 +55,16 @@ object Dedup {
   // -- shingling / MinHash -------------------------------------------------
 
   /** Character k-shingles (distinct) of a string column. Strings
-    * shorter than k yield an EMPTY array (guarded: Spark's
-    * sequence(1, 0) is the descending [1, 0], which would fabricate a
-    * spurious whole-string shingle); null in -> null out. */
-  def shingles(c: Column, k: Int): Column = {
-    val n = length(c) - (k - 1)
-    when(c.isNull, lit(null).cast("array<string>"))
-      .when(n >= 1,
-        array_distinct(transform(sequence(lit(1), n), i => c.substr(i, lit(k)))))
-      .otherwise(lit(Array.empty[String]))
-  }
+    * shorter than k yield an EMPTY array; null in -> null out.
+    * r06: a single-pass codegen'd expression ([[CharShingles]]) —
+    * element-for-element identical to the previous
+    * `array_distinct(transform(sequence(1, n), i => substr(c, i, k)))`
+    * HOF chain (distinct in first-occurrence order, codepoint
+    * semantics), which was interpreted per element and measured ~10×
+    * the cost of the scan it decorates (equivalence spec-tested). */
+  def shingles(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      CharShingles(org.apache.spark.sql.GraftShim.expression(c), k))
 
   /** TOKEN q-gram shingles (distinct): q-grams over whitespace tokens,
     * re-joined by a single space — the north-star's "token q-grams"
@@ -134,7 +138,8 @@ object Dedup {
       s"numHashes=$numHashes exceeds the ${mhSeedConsts.length} precomputed " +
         "seed constants (element_at would throw under ANSI mode); extend mhSeedConsts")
   def baseHash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftShim.column(Md5Prefix60(
+      org.apache.spark.sql.GraftShim.expression(c)))
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the min hash over the shingle set. Empty shingle set -> nulls. */
@@ -241,15 +246,24 @@ object Dedup {
   def minhashSignatureRelational(
       withShingles: DataFrame, numHashes: Int): DataFrame = {
     requireSeeds(numHashes)
-    val exploded = withShingles.select(col("id"), explode(col("sh")).as("s"))
+    // One row per (id, shingle); each of the numHashes seeds is a
+    // SEPARATE min-aggregate column over the same h0 — not a seed
+    // explode. The r05 shape exploded numHashes rows per shingle and
+    // min-aggregated on (id, seed): 16× the rows through the hash
+    // aggregate plus a second (id)-keyed agg to reassemble the array.
+    // Flat min columns keep the row count at one per shingle, combine
+    // map-side identically (partial min per agg column), and the
+    // signature array falls out of one aggregation — same seeded
+    // arithmetic (mhMix with the per-seed constant inlined as a
+    // literal), bit-identical signatures.
+    val perShingle = withShingles.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), baseHash60(col("s")).as("h0")) // md5 ONCE per shingle
+    val minCols = (0 until numHashes).map(seed =>
+      min(mhMix(lit(seed.toLong), col("h0"))).as(s"__mh$seed"))
+    perShingle.groupBy("id")
+      .agg(minCols.head, minCols.tail: _*)
       .select(col("id"),
-        explode(sequence(lit(0L), lit(numHashes - 1L))).as("seed"), col("h0"))
-      .select(col("id"), col("seed"), mhMix(col("seed"), col("h0")).as("h"))
-    exploded.groupBy("id", "seed").agg(min(col("h")).as("mh"))
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
+        array((0 until numHashes).map(i => col(s"__mh$i")): _*).as("sig"))
   }
 
   def minhashLshPairs(
@@ -259,26 +273,54 @@ object Dedup {
       k: Int = 5,
       numHashes: Int = 16,
       bands: Int = 4,
-      jaccardThreshold: Double = 0.6): DataFrame = {
+      jaccardThreshold: Double = 0.6,
+      /** false = return the lazy plan without the final eager
+        * checkpoint (plan diagnostics only — BenchExtra's dump; the
+        * shingle cache then stays unpersisted-by-action but also
+        * unmaterialized, so nothing pins). */
+      eagerResult: Boolean = true): DataFrame = {
+    // ONE shingle pass for the whole query (r06). The shingle set feeds
+    // three consumers — the signature derivation and BOTH sides of the
+    // exact-Jaccard verify join — and the r05 plan recomputed the
+    // scan + k-shingle HOF chain (the query's single most expensive
+    // per-row expression) once per consumer. Persist the slim (id, sh)
+    // projection for the duration of the build, materialize the final
+    // pair set eagerly (it is candidate-bounded and tiny relative to
+    // the corpus), and release the cache before returning — callers
+    // get a checkpoint-backed frame and executor storage is clean.
+    // Results are bit-identical (caching/checkpointing change nothing).
+    // the corpus usually arrives as a handful of size-based scan
+    // partitions — spread the raw (id, text) rows first so the k-shingle
+    // HOF chain (the dominant per-row cost) runs on every core, not on
+    // the scan's task count (guide §2.5); scale-adaptive partition count
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val withShingles = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .repartition(parts)
       .withColumn("sh", shingles(col("t"), k))
       .filter(size(col("sh")) > 0)
-    val withBands = withShingles.select(col("id"), col("sh"))
-      .join(minhashSignatureRelational(withShingles, numHashes), "id")
+      .select(col("id"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band keys need only the signature — the r05 shape also joined
+    // (id, sh) back in here, paying an id-keyed shuffle of the shingle
+    // arrays for a column the candidate generation never reads
+    val withBands = minhashSignatureRelational(withShingles, numHashes)
       .withColumn("band", explode(bandKeys(col("sig"), bands, numHashes)))
+      .select(col("id"), col("band"))
     val cands = withBands.as("a").join(withBands.as("b"), Seq("band"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sh = withShingles.select(col("id"), col("sh"))
-    cands
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    val pairs = cands
+      .join(withShingles.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(withShingles.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    if (!eagerResult) pairs
+    else try pairs.localCheckpoint(true)
+    finally withShingles.unpersist(blocking = false)
   }
 
   /** The full fuzzy-dedup pipeline (the shape production corpus dedup
@@ -309,6 +351,8 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       jaccardThreshold: Double = 0.6): DataFrame = {
+    // pairs is checkpoint-backed (minhashLshPairs materializes eagerly,
+    // r06) — freed below once the assembled result is itself checkpointed
     val pairs = minhashLshPairs(df, idCol, textCol, k, numHashes, bands, jaccardThreshold)
     val cc = graft.cluster.ConnectedComponents.run(pairs, "id_a", "id_b")
     val out = df.select(col(idCol).as("doc_id"))

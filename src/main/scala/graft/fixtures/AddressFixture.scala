@@ -72,10 +72,20 @@ object AddressFixture {
     }
   }
 
-  /** Left table: id, address, lat, lon. */
-  def left(spark: SparkSession, sfDir: String): DataFrame =
+  /** customer.parquet is one small file → one scan partition, and the
+    * address synthesis + the 18-regex normalize chain a caller stacks on
+    * top would run on ONE core until the first exchange. Spread the raw
+    * keys (8 bytes/row) across the session's shuffle-partition count
+    * before the synthesis expressions (guide §2.5) — output rows
+    * identical, oracle hashes row-order-insensitive. */
+  private def keys(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+
+  /** Left table: id, address, lat, lon. */
+  def left(spark: SparkSession, sfDir: String): DataFrame =
+    keys(spark, sfDir)
       .selectExpr(
         "CAST(c_custkey AS STRING) AS id",
         s"${addressSql("c_custkey", 0)} AS address",
@@ -91,8 +101,7 @@ object AddressFixture {
     * small deterministic geo jitter (side 1: ~0.33 km, side 2: ~0.67 km
     * north — inside the 1.5 km geo decay radius). */
   def right(spark: SparkSession, sfDir: String, side: Int = 1): DataFrame =
-    spark.read.parquet(s"$sfDir/customer.parquet")
-      .select(col("c_custkey"))
+    keys(spark, sfDir)
       .selectExpr(
         s"'${sidePrefix(side)}' || CAST(c_custkey AS STRING) AS id",
         s"${addressSql("c_custkey", side)} AS address",

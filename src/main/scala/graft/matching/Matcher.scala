@@ -258,9 +258,7 @@ object Matcher {
         joined.filter(arrays_overlap(col("left_toks"), col("right_toks")))
       else joined
 
-    val textS =
-      if (preTok) FuzzFunctions.token_set_ratio_pretok(col("left_tokset"), col("right_tokset"))
-      else scorer(col("left_text"), col("right_text"))
+    val textS = textScoreCol(cfg, preTok, scorer, hasGeo)
     val digitsS = Scores.digitsScoreArrays(col("left_digit_runs"), col("right_digit_runs"))
     val geoS: Column =
       if (hasGeo) {
@@ -415,6 +413,40 @@ object Matcher {
     lSalt.join(rSalt, Seq(key, "salt"), "inner").drop("salt")
   }
 
+  /** The per-pair text scorer for this cfg (r06): the pre-tokenized
+    * fast path for token_set_ratio; a THRESHOLD-BOUNDED banded DP for
+    * lev_ratio (exact for every pair whose text score can still reach
+    * the combined threshold, guaranteed-below-`minText` otherwise — and
+    * since [[scoredPairs]] filters those out before anything
+    * order-sensitive, output is bit-identical to the unbounded scorer;
+    * equivalence is spec-tested); the registry scorer otherwise. */
+  private def textScoreCol(cfg: MatchConfig, preTok: Boolean,
+      scorer: (Column, Column) => Column, hasGeo: Boolean): Column =
+    if (preTok)
+      FuzzFunctions.token_set_ratio_pretok(col("left_tokset"), col("right_tokset"))
+    else if (cfg.scorer.equalsIgnoreCase("lev_ratio"))
+      FuzzFunctions.lev_ratio_bounded(col("left_text"), col("right_text"),
+        minTextScore(cfg, hasGeo))
+    else scorer(col("left_text"), col("right_text"))
+
+  /** The minimum text score that can still reach `cfg.thresholdScaled`
+    * after [[Scores.combine]]'s weighted mean: digits is always active
+    * (0/100, never null) and capped at 100; geo contributes only when
+    * `hasGeo` and both coordinates exist, capped at 100 — take the
+    * minimum over both activation cases. 0.006 of slack stands in for
+    * combine's 2-decimal HALF_UP rounding (round(x, 2) >= T requires
+    * x >= T - 0.005). Any pair whose text score is below this value
+    * cannot pass the threshold filter regardless of its other
+    * components. */
+  private def minTextScore(cfg: MatchConfig, hasGeo: Boolean): Double = {
+    val t = cfg.thresholdScaled - 0.006
+    val noGeo = ((cfg.wText + cfg.wDigits) * t - 100.0 * cfg.wDigits) / cfg.wText
+    if (!hasGeo) noGeo
+    else math.min(noGeo,
+      ((cfg.wText + cfg.wDigits + cfg.wGeo) * t -
+        100.0 * (cfg.wDigits + cfg.wGeo)) / cfg.wText)
+  }
+
   /** Post-exchange per-row derivations (J5 right-side precompute,
     * generalized): computed once per shuffled ROW, never per PAIR —
     * shared by every candidate generator (block join, LSH band join)
@@ -553,9 +585,7 @@ object Matcher {
       if (cfg.semanticStopwords.nonEmpty)
         joined.filter(arrays_overlap(col("left_toks"), col("right_toks")))
       else joined
-    val textS =
-      if (preTok) FuzzFunctions.token_set_ratio_pretok(col("left_tokset"), col("right_tokset"))
-      else scorer(col("left_text"), col("right_text"))
+    val textS = textScoreCol(cfg, preTok, scorer, hasGeo = false)
     val digitsS = Scores.digitsScoreArrays(col("left_digit_runs"), col("right_digit_runs"))
     val conf = Scores.combine(textS, digitsS, lit(null).cast("double"),
       cfg.wText, cfg.wDigits, cfg.wGeo)

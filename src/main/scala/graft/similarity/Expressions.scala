@@ -155,6 +155,33 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Threshold-aware `lev_ratio` (see [[Fuzz.levRatioBounded]]): exact
+  * for any pair scoring >= `minText`, guaranteed-below-`minText` (and
+  * never above the true score's pass/fail side) otherwise. ONLY safe
+  * where the consumer filters scores below `minText` — the matcher's
+  * threshold path; not registered in the public scorer map. */
+case class BoundedLevRatio(left: Expression, right: Expression, minText: Double)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Fuzz.levRatioBounded(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], minText)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.similarity.Fuzz.levRatioBounded($a, $b, ${minText}D)")
+  override def prettyName: String = "lev_ratio_bounded"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API + SQL registration surface. Mirrors the reference's scorer
   * registry `{"token_set_ratio","ratio","partial_ratio"}` keyed by name
   * (match.py:109-115) with `token_set_ratio` as the default.
@@ -171,6 +198,8 @@ object FuzzFunctions {
     GraftShim.column(DamerauLevenshtein(GraftShim.expression(a), GraftShim.expression(b)))
   def monge_elkan(a: Column, b: Column): Column =
     GraftShim.column(MongeElkan(GraftShim.expression(a), GraftShim.expression(b)))
+  def lev_ratio_bounded(a: Column, b: Column, minText: Double): Column =
+    GraftShim.column(BoundedLevRatio(GraftShim.expression(a), GraftShim.expression(b), minText))
 
   /** The once-per-row tokenization feeding [[token_set_ratio_pretok]]:
     * whitespace-split, drop empties, distinct, binary sort — exactly the

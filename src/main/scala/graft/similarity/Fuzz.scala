@@ -427,6 +427,93 @@ object Fuzz {
     best
   }
 
+  /** Levenshtein distance CLAMPED at `bound`: returns the exact
+    * distance when it is <= bound, else any value > bound (bound + 1).
+    * Semantics match Spark's built-in `levenshtein` (codepoint-based)
+    * exactly in the <= bound regime — ASCII inputs take a banded
+    * byte-DP (Ukkonen band of width 2*bound+1, per-row early exit);
+    * any non-ASCII byte falls back to Spark's own
+    * `UTF8String.levenshteinDistance`, so parity is structural, not
+    * reimplemented. The band + early exit is what makes a
+    * threshold-aware scorer cheap: candidate pairs that cannot reach
+    * the match threshold exit after a few rows instead of paying the
+    * full O(|a|·|b|) table (guide §1.2 "per-task work").
+    */
+  def levenshteinWithin(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String, bound: Int): Int = {
+    if (bound < 0) return 1 // degenerate caller: anything "exceeds"
+    // non-ASCII → Spark's own implementation (exact, unbanded)
+    var q = 0
+    val na = a.numBytes()
+    while (q < na) { if (a.getByte(q) < 0) return a.levenshteinDistance(b); q += 1 }
+    q = 0
+    val nb = b.numBytes()
+    while (q < nb) { if (b.getByte(q) < 0) return a.levenshteinDistance(b); q += 1 }
+    // ASCII: bytes == codepoints; banded two-row DP over (s = shorter
+    // as columns, l = longer as rows)
+    val (s, l) = if (na <= nb) (a, b) else (b, a)
+    val m = s.numBytes()
+    val n = l.numBytes()
+    if (n - m > bound) return bound + 1
+    if (m == 0) return n // <= bound by the line above
+    val inf = bound + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= bound) j else inf; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val lo = math.max(1, i - bound)
+      val hi = math.min(m, i + bound)
+      cur(lo - 1) = if (lo == 1) math.min(i, inf) else inf
+      var rowMin = cur(lo - 1)
+      val li = l.getByte(i - 1)
+      j = lo
+      while (j <= hi) {
+        val cost = if (li == s.getByte(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        val del = prev(j) + 1
+        if (del < v) v = del
+        val ins = cur(j - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (hi < m) cur(hi + 1) = inf // band edge guard for next row's prev(j)
+      if (rowMin > bound) return bound + 1
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(m) > bound) bound + 1 else prev(m)
+  }
+
+  /** Threshold-aware `lev_ratio`: identical to
+    * `100 * (1 - levenshtein(a,b) / max(|a|,|b|))` (with 100.0 for two
+    * empties) for every pair whose score is >= `minText`, and GUARANTEED
+    * below `minText` (and <= any such pair's true-score ordering needs)
+    * otherwise — callers must only use it where scores below `minText`
+    * are filtered out before anything order-sensitive (see
+    * [[graft.matching.Matcher.scoredPairs]], which derives `minText`
+    * from the match threshold and weight caps). The win: the DP runs
+    * banded at the bound implied by `minText` and exits at the first
+    * row that proves the bound unreachable. */
+  def levRatioBounded(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String, minText: Double): Double = {
+    val la = a.numChars()
+    val lb = b.numChars()
+    val mx = math.max(la, lb)
+    if (mx == 0) return 100.0
+    // any distance > bound forces score < minText; +1 absorbs the float
+    // rounding of the bound product itself. Capped at mx: distance never
+    // exceeds max(|a|,|b|), so a cap-wide band computes exactly.
+    val bound = math.min(
+      math.floor(mx * (100.0 - minText) / 100.0 + 1e-9).toInt + 1, mx)
+    val d = levenshteinWithin(a, b, bound)
+    100.0 * (1.0 - d.toDouble / mx)
+  }
+
   /** Jaro similarity on 0..1. Standard definition: matches within a
     * window of floor(max(|a|,|b|)/2)-1, transpositions counted over the
     * matched sequences. Operates on UTF-8 **bytes**, matching DuckDB's

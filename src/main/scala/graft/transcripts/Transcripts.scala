@@ -55,8 +55,19 @@ object Transcripts {
   /** Per-variant perturbed conversation text + conv_id, one row per
     * (doc, variant). Columns: conv_id, entity_id, variant, vtext. */
   def convDocs(spark: SparkSession, sfDir: String, variants: Int = 3): DataFrame = {
+    // documents.parquet is one small file → one scan partition, and
+    // everything until the first exchange (variant CASE ×variants, both
+    // explodes, per-turn substring/CASE chains, the consumer's partial
+    // aggregation) would run on ONE core. Spread the doc rows across
+    // the session's shuffle-partition count first (scale-adaptive, not
+    // a local constant; guide §2.5 "input skew — repartition immediately
+    // after the read"): the shuffle moves only the raw doc rows once,
+    // and every derived row downstream is born parallel. Output rows
+    // are identical; the driver's oracle hash is row-order-insensitive.
+    val parts = spark.sessionState.conf.numShufflePartitions
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
+      .repartition(parts)
     val v = explode(sequence(lit(0), lit(variants - 1))).as("variant")
     docs.select(col("doc_id"), col("text"), v)
       .withColumn("vtext", expr(
@@ -96,6 +107,19 @@ object Transcripts {
              |ELSE NULL END""".stripMargin).as("tool"),
         expr(s"timestamp'$Epoch' + make_interval(0,0,0,0,0,0, entity_id * 1000 + variant * 100 + turn_idx)")
           .as("ts"))
+      // Pinned hash partitioning on conv_id (r06): the dominant
+      // consumers re-assemble conversations (groupBy(conv_id) in
+      // convNorm/convNormV, the tool-sequence fold) — emitting turns
+      // already clustered by conv_id lets EnsureRequirements elide the
+      // aggregation's own exchange, so the same turn bytes cross the
+      // network once either way, but the explicit partition count is
+      // NOT AQE-coalesced: the r05 shape let AQE squeeze the ~200 MB
+      // post-groupBy stage into a handful of tasks sized for shuffle
+      // bytes, serializing the normalize chain (the stage's real cost,
+      // invisible to byte-based coalescing) onto 2-4 cores. Count is
+      // the session's shuffle-partition setting — scale-adaptive, not
+      // a local constant.
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("conv_id"))
       .as[Turn]
   }
 

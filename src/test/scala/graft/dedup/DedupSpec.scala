@@ -115,4 +115,47 @@ class DedupSpec extends SparkSpec {
         maxHamming = 8, numBlocks = 9, keyBlocks = 2)
     }
   }
+
+  test("CharShingles equals the r05 HOF formulation (order, nulls, Turkish)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the exact expression shingles() compiled to before r06
+    def legacy(c: org.apache.spark.sql.Column, k: Int) = {
+      val n = length(c) - (k - 1)
+      when(c.isNull, lit(null).cast("array<string>"))
+        .when(n >= 1,
+          array_distinct(transform(sequence(lit(1), n), i => c.substr(i, lit(k)))))
+        .otherwise(lit(Array.empty[String]))
+    }
+    val rows = Seq(
+      "merge the customer stream window merge the stream",
+      "ababababab", "abc", "ab", "", "şehir İstanbul çay ğü şehir",
+      "aaaaaaa", "x").map(Tuple1(_)).toDF("t")
+      .union(Seq(Tuple1(null.asInstanceOf[String])).toDF("t"))
+    for (k <- Seq(1, 2, 5)) {
+      val got = rows.select(Dedup.shingles(col("t"), k).as("s")).collect()
+      val want = rows.select(legacy(col("t"), k).as("s")).collect()
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.isNullAt(0) == w.isNullAt(0), s"null mismatch k=$k")
+        if (!g.isNullAt(0))
+          assert(g.getSeq[String](0) == w.getSeq[String](0), s"k=$k")
+      }
+    }
+  }
+
+  test("Md5Prefix60 equals the r05 conv(md5hex) formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq("", "a", "mrg", "istanbul kadikoy", "şİğü", "0:xyz",
+      "a" * 500).map(Tuple1(_)).toDF("t")
+    val got = rows.select(Dedup.baseHash60(col("t")).as("h"),
+      Dedup.portableHash(col("t"), 7).as("p")).collect()
+    val want = rows.select(
+      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"),
+      conv(substring(md5(concat(lit("7:"), col("t"))), 1, 15), 16, 10)
+        .cast("long").as("p")).collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1))
+    }
+  }
 }

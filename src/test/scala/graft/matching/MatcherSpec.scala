@@ -37,6 +37,44 @@ class MatcherSpec extends SparkSpec {
     assert(f1 >= 0.99, s"pairwise F1 $f1 below 0.99 (tp=$tp fp=$fp fn=$fn)")
   }
 
+  test("bounded lev_ratio path equals the unbounded scorer end to end") {
+    // r06: cfg.scorer == "lev_ratio" routes through the threshold-banded
+    // BoundedLevRatio expression; this replays the match with the plain
+    // unbounded registry formula through an independent mini-matcher
+    // (block join + combine + threshold + rankTopK) and demands
+    // bit-identical (left_id, right_id, score) rows.
+    import graft.blocking.BlockKeys
+    import graft.similarity.{FuzzFunctions, Scores}
+    val aCfg = MatchConfig(scorer = "lev_ratio", threshold = 75, topk = 3,
+      blockBy = "digits+prefix6", wDigits = 0.15, wGeo = 0.05, geoMaxKm = 1.5)
+    val left = norm(AddressFixture.left(spark, sf0001))
+    val right = norm(AddressFixture.rightAll(spark, sf0001))
+    val got = Matcher.matchPairs(left, right, aCfg,
+      idCol = "id", textCol = "address_norm", hasGeo = true)
+    val bk = (c: org.apache.spark.sql.Column) => BlockKeys.blockKey(c, aCfg.blockBy)
+    val joined = left.select(col("id").as("left_id"), col("address_norm").as("lt"),
+        col("lat").as("llat"), col("lon").as("llon"), bk(col("address_norm")).as("bkey"))
+      .join(right.select(col("id").as("right_id"), col("address_norm").as("rt"),
+        col("lat").as("rlat"), col("lon").as("rlon"), bk(col("address_norm")).as("bkey")),
+        Seq("bkey"))
+    val textS = FuzzFunctions.scorers("lev_ratio")(col("lt"), col("rt"))
+    val digitsS = Scores.digitsScore(col("lt"), col("rt"))
+    val geoS = when(col("llat").isNotNull && col("llon").isNotNull &&
+      col("rlat").isNotNull && col("rlon").isNotNull,
+      Scores.geoScoreKm(
+        Scores.haversineKm(col("llat"), col("llon"), col("rlat"), col("rlon")),
+        aCfg.geoMaxKm))
+    val expected = Matcher.rankTopK(
+      joined.withColumn("score",
+          Scores.combine(textS, digitsS, geoS, aCfg.wText, aCfg.wDigits, aCfg.wGeo))
+        .filter(col("score") >= aCfg.thresholdScaled)
+        .select(col("left_id"), col("right_id"), col("score")),
+      aCfg.topk)
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0)
+    assert(got.count() == expected.count() && got.count() > 0)
+  }
+
   test("threshold monotonicity: higher threshold never adds matches") {
     val left = norm(AddressFixture.left(spark, sf0001))
     val right = norm(AddressFixture.rightAll(spark, sf0001))

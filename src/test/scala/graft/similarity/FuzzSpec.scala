@@ -230,4 +230,59 @@ class FuzzSpec extends SparkSpec {
         (dl == 0) == (a == b)
     })
   }
+
+  private def levNaive(a: String, b: String): Int = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 0 to a.length) dp(i)(0) = i
+    for (j <- 0 to b.length) dp(0)(j) = j
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(
+        math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  private def utf8(s: String) =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  test("property: banded levenshteinWithin is exact within bound, clamped above") {
+    val chars = Gen.oneOf("abcd 0123şİ".toSeq) // incl. non-ASCII fallback path
+    val str = Gen.chooseNum(0, 90).flatMap(n => Gen.stringOfN(n, chars))
+    check(Prop.forAll(str, str, Gen.chooseNum(0, 100)) { (a, b, bound) =>
+      val ref = levNaive(a, b)
+      val got = Fuzz.levenshteinWithin(utf8(a), utf8(b), bound)
+      if (ref <= bound) got == ref else got > bound
+    })
+  }
+
+  test("property: levRatioBounded exact at/above minText, safely below otherwise") {
+    val chars = Gen.oneOf("abcd 0123".toSeq)
+    val str = Gen.chooseNum(0, 90).flatMap(n => Gen.stringOfN(n, chars))
+    val minTexts = Gen.oneOf(0.0, 25.0, 52.5, 68.74, 70.3, 99.0)
+    check(Prop.forAll(str, str, minTexts) { (a, b, minText) =>
+      val mx = math.max(a.length, b.length)
+      val truth =
+        if (mx == 0) 100.0
+        else 100.0 * (1.0 - levNaive(a, b).toDouble / mx)
+      val got = Fuzz.levRatioBounded(utf8(a), utf8(b), minText)
+      // exact whenever the true score could pass; otherwise an
+      // overestimate of the true score that still fails the gate
+      if (truth >= minText) got == truth
+      else got < minText && got >= truth - 1e-9
+    })
+  }
+
+  test("lev_ratio_bounded expression survives codegen and matches scalar") {
+    import spark.implicits._
+    val rows = Seq(
+      ("istanbul kadikoy moda cadde no 12", "istanbul kadikoy moda cadde no 21"),
+      ("yildiz mahalle 850 sokak", "esentepe bulvar 99 apartman"),
+      ("", ""), ("abc", ""), ("", "xyz"), ("şehir", "sehir"))
+    val out = rows.toDF("a", "b")
+      .select(FuzzFunctions.lev_ratio_bounded($"a", $"b", 68.74).as("s")).collect()
+    rows.zip(out).foreach { case ((a, b), r) =>
+      assert(r.getDouble(0) == Fuzz.levRatioBounded(utf8(a), utf8(b), 68.74),
+        s"in-plan lev_ratio_bounded($a,$b)")
+    }
+  }
 }
