@@ -56,6 +56,7 @@ object BenchExtra {
           args.lift(2).getOrElse("before"))
         case "addrx" => addrDeep(s, dir)
         case "exprx" => exprDeep(s, dir)
+        case "tsrx" => tsrDeep(s, dir)
         case _ => stages(s, dir)
       }
     } finally s.stop()
@@ -115,7 +116,7 @@ object BenchExtra {
     s.sparkContext.setJobDescription("minhash: stages")
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val withShingles = docs.select(col("doc_id").as("id"), col("text").as("t"))
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .repartition(graft.util.Parallelism.spread(s))
       .withColumn("sh", graft.dedup.Dedup.shingles(col("t"), 5))
       .filter(size(col("sh")) > 0)
     time("minhash: shingles (noop, spread)") { noop(withShingles.select("id", "sh")) }
@@ -158,6 +159,47 @@ object BenchExtra {
           s.read.parquet(s"$dir/events.parquet"), gapSeconds = 43200L)).count()
     }
     time("ann_brute") { ExtraQueries.queries("v_ann_brute")(s, dir).count() }
+  }
+
+  /** Expression-level isolation of the tsr corpus chain: where do the
+    * ~100 CPU-seconds of convNormV actually go (turn synthesis, doc
+    * re-assembly, the normalize regex chain, the entity/variant
+    * extracts)? Every leg is noop-sunk (guide §1.4) and runs over a
+    * cached input so legs time exactly one expression set. */
+  private def tsrDeep(s: SparkSession, dir: String): Unit = {
+    import graft.transcripts.Transcripts
+    // warm codegen/JIT on the same expressions, small corpus
+    time("warmup convNormV v2") { noop(SparkEntryBench.convNormV(s, dir, variants = 2)) }
+    time("convDocs only (vtext synthesis)") {
+      noop(Transcripts.convDocs(s, dir, 12))
+    }
+    time("turns (noop)") { noop(Transcripts.turns(s, dir, 12).toDF()) }
+    // assembled doc, no normalize / no extracts
+    val assembled = Transcripts.turns(s, dir, 12).toDF()
+      .groupBy(col("conv_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+        x => x.getField("text")), "").as("doc"))
+    time("assembly only (no normalize)") { noop(assembled) }
+    val docsC = assembled.cache()
+    time("assembled docs cache materialize") { docsC.count() }
+    time("normalize over cached docs") {
+      noop(docsC.select(col("conv_id"),
+        graft.normalize.Normalizer.normalize(col("doc")).as("text_norm")))
+    }
+    time("normalize over cached docs (2nd)") {
+      noop(docsC.select(col("conv_id"),
+        graft.normalize.Normalizer.normalize(col("doc")).as("text_norm")))
+    }
+    time("lower only over cached docs") {
+      noop(docsC.select(col("conv_id"), lower(col("doc")).as("t")))
+    }
+    time("regex extracts only (entity/variant)") {
+      noop(docsC.select(
+        regexp_extract(col("conv_id"), "c([0-9]+)_", 1).cast("bigint").as("e"),
+        regexp_extract(col("conv_id"), "_([0-9]+)$", 1).cast("int").as("v")))
+    }
+    docsC.unpersist()
   }
 
   /** Per-expression cost isolation over the materialized addr candidate

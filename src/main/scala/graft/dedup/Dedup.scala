@@ -291,9 +291,10 @@ object Dedup {
     // Results are bit-identical (caching/checkpointing change nothing).
     // the corpus usually arrives as a handful of size-based scan
     // partitions — spread the raw (id, text) rows first so the k-shingle
-    // HOF chain (the dominant per-row cost) runs on every core, not on
-    // the scan's task count (guide §2.5); scale-adaptive partition count
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // chain (the dominant per-row cost) runs on every core, not on the
+    // scan's task count (guide §2.5); cores-tracking partition count
+    // (compute-bound spread, see [[graft.util.Parallelism.spread]])
+    val parts = graft.util.Parallelism.spread(df.sparkSession)
     val withShingles = df.select(col(idCol).as("id"), col(textCol).as("t"))
       .repartition(parts)
       .withColumn("sh", shingles(col("t"), k))

@@ -75,13 +75,14 @@ object AddressFixture {
   /** customer.parquet is one small file → one scan partition, and the
     * address synthesis + the 18-regex normalize chain a caller stacks on
     * top would run on ONE core until the first exchange. Spread the raw
-    * keys (8 bytes/row) across the session's shuffle-partition count
-    * before the synthesis expressions (guide §2.5) — output rows
-    * identical, oracle hashes row-order-insensitive. */
+    * keys (8 bytes/row) across a cores-tracking partition count
+    * ([[graft.util.Parallelism.spread]]) before the synthesis
+    * expressions (guide §2.5) — output rows identical, oracle hashes
+    * row-order-insensitive. */
   private def keys(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"))
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .repartition(graft.util.Parallelism.spread(spark))
 
   /** Left table: id, address, lat, lon. */
   def left(spark: SparkSession, sfDir: String): DataFrame =

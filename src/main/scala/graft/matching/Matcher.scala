@@ -202,7 +202,7 @@ object Matcher {
     // by construction (it is the set of pathological blocks); the
     // `limit` caps the broadcast — any key beyond the cap simply stays
     // unsalted (perf-only: AQE skew-join still splits it at runtime).
-    val parts = left.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = graft.util.Parallelism.explodingJoin(left.sparkSession)
     // coPartitioned: the sides arrived bucketed on block_key (equal
     // bucket counts), so the join needs no exchange at all — do NOT
     // repartition (it would re-shuffle what the snapshot already paid
@@ -528,7 +528,7 @@ object Matcher {
       case other => throw new IllegalArgumentException(
         s"shingleMode must be 'char' or 'token': '$other'")
     }
-    val parts = left.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = graft.util.Parallelism.explodingJoin(left.sparkSession)
     val scorer = FuzzFunctions.scorer(cfg.scorer)
     val preTok = cfg.scorer.equalsIgnoreCase("token_set_ratio")
     // slim pre-shuffle rows: (id, text, band) only; heavy per-row

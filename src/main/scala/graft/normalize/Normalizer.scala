@@ -34,8 +34,22 @@ object Normalizer {
     *  2. abbreviation expansion with word boundaries (normalize.py:117-121)
     *  3. punctuation -> space (strip_punctuation, normalize.py:129-130)
     *  4. whitespace collapse + trim (normalize.py:132-134)
-    */
-  def normalize(c: Column): Column = {
+    *
+    * r06: executed by the fused single-pass [[TextNormalize]]
+    * expression — the 6-regex Column chain below measured ~2.4 ms/doc
+    * on the bench transcript corpus (~90 of the tsr query's ~105
+    * CPU-seconds). Output is property-tested identical
+    * (NormalizeExpressionsSpec) and the DuckDB mirror
+    * ([[normalizeSqlDuck]]) is untouched, so every oracle hash is
+    * unchanged. */
+  def normalize(c: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      TextNormalize(org.apache.spark.sql.GraftShim.expression(c)))
+
+  /** The original Column-chain formulation of [[normalize]] — the
+    * executable spec the fused expression is property-tested against
+    * (and the exact shape [[normalizeSqlDuck]] mirrors in DuckDB). */
+  private[graft] def normalizeColumnChain(c: Column): Column = {
     val lowered = lower(c)
     val expanded = abbreviations.foldLeft(lowered) { case (acc, (abbr, full)) =>
       regexp_replace(acc, s"\\b$abbr\\b\\.?", full)
@@ -97,7 +111,14 @@ object Normalizer {
     *     (normalize_and_parse.py:66-68)
     *  6. whitespace collapse + trim
     */
-  def normalizeAddress(c: Column): Column = {
+  def normalizeAddress(c: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      AddressNormalize(org.apache.spark.sql.GraftShim.expression(c)))
+
+  /** The original 16-regex Column chain of [[normalizeAddress]] — the
+    * executable spec [[AddressNormalize]] is property-tested against
+    * (r06; the DuckDB mirror below is untouched). */
+  private[graft] def normalizeAddressColumnChain(c: Column): Column = {
     val lowered = lower(c)
     val punct = regexp_replace(lowered, "([a-z])[.,:;]", "$1 ")
     val slash1 = regexp_replace(punct, "([a-z])/", "$1 ")

@@ -203,8 +203,14 @@ object FuzzFunctions {
 
   /** The once-per-row tokenization feeding [[token_set_ratio_pretok]]:
     * whitespace-split, drop empties, distinct, binary sort — exactly the
-    * token set [[Fuzz.tokenSetRatio]] builds per pair. */
-  def sortedTokenSet(c: Column): Column = {
+    * token set [[Fuzz.tokenSetRatio]] builds per pair. r06: fused
+    * single-pass [[SortedTokenSet]] (the split/filter/distinct/sort HOF
+    * chain was interpreted per element; property-tested identical). */
+  def sortedTokenSet(c: Column): Column =
+    GraftShim.column(SortedTokenSet(GraftShim.expression(c)))
+
+  /** The HOF-chain formulation of [[sortedTokenSet]] — spec oracle. */
+  private[graft] def sortedTokenSetColumns(c: Column): Column = {
     import org.apache.spark.sql.functions._
     array_sort(array_distinct(filter(split(c, "\\s+"), t => t =!= "")))
   }

@@ -1,0 +1,114 @@
+package graft.similarity
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd single-pass replacements for the matcher's two per-row
+  * preparation expressions (r06, guide §1.2 "per-task work"): both run
+  * once per POST-EXCHANGE row on every side of every block join, and
+  * both were regex-/HOF-interpreted:
+  *
+  *   - [[DigitRuns]] ≡ `regexp_extract_all(c, '[0-9]+', 0)` — maximal
+  *     digit runs. Exact for ALL UTF-8 input with a pure byte scan:
+  *     ASCII digit bytes (0x30-0x39) never occur inside a multi-byte
+  *     UTF-8 sequence, so char-level maximal runs equal byte-level
+  *     maximal runs.
+  *   - [[SortedTokenSet]] ≡ `array_sort(array_distinct(filter(
+  *     split(c, "\\s+"), t => t =!= "")))`. Java `\s` is the six ASCII
+  *     whitespace chars (no UNICODE_CHARACTER_CLASS), none of which can
+  *     appear inside a multi-byte sequence, so byte-level splitting is
+  *     exact for all UTF-8 too; dedup keeps a hash set, the sort is
+  *     `UTF8String`'s binary order — exactly `array_sort`'s ordering
+  *     under the default collation.
+  *
+  * Both are property-tested equal to the Column formulations they
+  * replace (RowPrepExpressionsSpec).
+  */
+object RowPrepOps {
+
+  private val emptyArray = new GenericArrayData(Array.empty[Any])
+
+  def digitRuns(s: UTF8String): ArrayData = {
+    val n = s.numBytes()
+    var out: java.util.ArrayList[Any] = null
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= '0' && b <= '9') {
+        val start = i
+        i += 1
+        while (i < n && { val c = s.getByte(i); c >= '0' && c <= '9' }) i += 1
+        val bytes = new Array[Byte](i - start)
+        var j = 0
+        while (j < bytes.length) { bytes(j) = s.getByte(start + j); j += 1 }
+        if (out == null) out = new java.util.ArrayList[Any](4)
+        out.add(UTF8String.fromBytes(bytes))
+      } else i += 1
+    }
+    if (out == null) emptyArray else new GenericArrayData(out.toArray)
+  }
+
+  @inline private def isJavaSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  def sortedTokenSet(s: UTF8String): ArrayData = {
+    val n = s.numBytes()
+    val seen = new java.util.HashSet[UTF8String]()
+    val toks = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < n) {
+      if (isJavaSpace(s.getByte(i))) i += 1
+      else {
+        val start = i
+        i += 1
+        while (i < n && !isJavaSpace(s.getByte(i))) i += 1
+        val bytes = new Array[Byte](i - start)
+        var j = 0
+        while (j < bytes.length) { bytes(j) = s.getByte(start + j); j += 1 }
+        val tok = UTF8String.fromBytes(bytes)
+        if (seen.add(tok)) toks.add(tok)
+      }
+    }
+    val arr = toks.toArray(new Array[UTF8String](toks.size()))
+    java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.binaryCompare(b))
+    new GenericArrayData(arr.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** See [[RowPrepOps.digitRuns]]. */
+case class DigitRuns(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any =
+    RowPrepOps.digitRuns(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.similarity.RowPrepOps.digitRuns($c)")
+  override def prettyName: String = "digit_runs"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** See [[RowPrepOps.sortedTokenSet]]. */
+case class SortedTokenSet(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any =
+    RowPrepOps.sortedTokenSet(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.similarity.RowPrepOps.sortedTokenSet($c)")
+  override def prettyName: String = "sorted_token_set"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

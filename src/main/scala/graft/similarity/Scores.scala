@@ -22,8 +22,16 @@ object Scores {
   /** Per-row digit-run extraction for [[digitsScoreArrays]] — hoists the
     * two regex scans out of the pair loop: computed once per ROW before
     * the block join instead of twice per scored PAIR (the join output is
-    * orders of magnitude larger than its inputs). */
-  def digitRuns(c: Column): Column = regexp_extract_all(c, lit("[0-9]+"), lit(0))
+    * orders of magnitude larger than its inputs). r06: fused single
+    * byte-pass expression ([[DigitRuns]]), exact for all UTF-8 input and
+    * property-tested equal to the regexp_extract_all formulation. */
+  def digitRuns(c: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      DigitRuns(org.apache.spark.sql.GraftShim.expression(c)))
+
+  /** The regex formulation of [[digitRuns]] — spec oracle. */
+  private[graft] def digitRunsColumn(c: Column): Column =
+    regexp_extract_all(c, lit("[0-9]+"), lit(0))
 
   /** [[digitsScore]] over pre-extracted digit-run arrays (same result). */
   def digitsScoreArrays(ld: Column, rd: Column): Column =

@@ -59,12 +59,15 @@ object Transcripts {
     // everything until the first exchange (variant CASE ×variants, both
     // explodes, per-turn substring/CASE chains, the consumer's partial
     // aggregation) would run on ONE core. Spread the doc rows across
-    // the session's shuffle-partition count first (scale-adaptive, not
-    // a local constant; guide §2.5 "input skew — repartition immediately
+    // a cores-tracking partition count first (scale-adaptive, not a
+    // local constant; guide §2.5 "input skew — repartition immediately
     // after the read"): the shuffle moves only the raw doc rows once,
     // and every derived row downstream is born parallel. Output rows
     // are identical; the driver's oracle hash is row-order-insensitive.
-    val parts = spark.sessionState.conf.numShufflePartitions
+    // (r06 follow-up: count = Parallelism.spread — the chain is
+    // compute-bound, so tasks should track cores, not the byte-sized
+    // shuffle conf; 256 tiny tasks per stage were scheduling-dominated.)
+    val parts = graft.util.Parallelism.spread(spark)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
       .repartition(parts)
@@ -117,9 +120,10 @@ object Transcripts {
       // post-groupBy stage into a handful of tasks sized for shuffle
       // bytes, serializing the normalize chain (the stage's real cost,
       // invisible to byte-based coalescing) onto 2-4 cores. Count is
-      // the session's shuffle-partition setting — scale-adaptive, not
-      // a local constant.
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("conv_id"))
+      // cores-tracking ([[graft.util.Parallelism.spread]]) — scale-
+      // adaptive, not a local constant; the downstream aggregation
+      // accepts any hash-partitioning on conv_id, so no re-exchange.
+      .repartition(graft.util.Parallelism.spread(spark), col("conv_id"))
       .as[Turn]
   }
 
