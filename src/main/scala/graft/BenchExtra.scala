@@ -57,6 +57,8 @@ object BenchExtra {
         case "addrx" => addrDeep(s, dir)
         case "exprx" => exprDeep(s, dir)
         case "tsrx" => tsrDeep(s, dir)
+        case "tokx" => tokPrep(s, dir)
+        case "thrx" => throughputReplica(s, dir)
         case _ => stages(s, dir)
       }
     } finally s.stop()
@@ -159,6 +161,65 @@ object BenchExtra {
           s.read.parquet(s"$dir/events.parquet"), gapSeconds = 43200L)).count()
     }
     time("ann_brute") { ExtraQueries.queries("v_ann_brute")(s, dir).count() }
+  }
+
+  /** Replica of Bench.matchThroughput's timed region (R=16 corpus,
+    * salted match, count) for event-log stage analysis — the frozen
+    * bench can't run with an event log, this can. */
+  private def throughputReplica(s: SparkSession, dir: String): Unit = {
+    import graft.matching.{MatchConfig, Matcher}
+    val R = 16
+    val base = SparkEntryBench.convNormV(s, dir, variants = 12)
+    val conv = base
+      .withColumn("rep", explode(sequence(lit(0), lit(R - 1))))
+      .select(
+        concat(col("conv_id"), lit("_q"), col("rep")).as("conv_id"),
+        col("variant"),
+        concat(format_string("q%02dx ", col("rep")), col("text_norm")).as("text_norm"))
+      .cache()
+    time("corpus materialize (untimed in bench)") { conv.count() }
+    val lhs = conv.filter(col("variant") === 0)
+    val rhs = conv.filter(col("variant") > 0)
+    val cfg = MatchConfig.reference.copy(blockBy = "digits+prefix10", saltBuckets = 8)
+    val hot = Matcher.hotBlockKeys(lhs, rhs, cfg, textCol = "text_norm")
+    val cfgStats = cfg.copy(knownHotKeys = Some(hot))
+    for (r <- 1 to 2) {
+      s.sparkContext.setJobDescription(s"thrx run $r")
+      time(s"throughput match (run $r)") {
+        Matcher.matchPairs(lhs, rhs, cfgStats,
+          idCol = "conv_id", textCol = "text_norm").count()
+      }
+    }
+    conv.unpersist()
+  }
+
+  /** Fused-vs-chain isolation of the per-row prep expressions over the
+    * R=16 throughput corpus rows (the texts the scoring join actually
+    * sees) — quantifies exactly the two formulations' per-row cost with
+    * no join around them. */
+  private def tokPrep(s: SparkSession, dir: String): Unit = {
+    import graft.similarity.{FuzzFunctions, Scores}
+    val base = SparkEntryBench.convNormV(s, dir, variants = 12)
+      .withColumn("rep", explode(sequence(lit(0), lit(7))))
+      .select(concat(format_string("q%02dx ", col("rep")), col("text_norm")).as("t"))
+      .cache()
+    time("corpus materialize") { base.count() }
+    time("noop ids") { noop(base.select(length(col("t")))) }
+    for (r <- 1 to 2) {
+      time(s"tokset fused (run $r)") {
+        noop(base.select(FuzzFunctions.sortedTokenSet(col("t")).as("x")))
+      }
+      time(s"tokset chain (run $r)") {
+        noop(base.select(FuzzFunctions.sortedTokenSetColumns(col("t")).as("x")))
+      }
+      time(s"digit_runs fused (run $r)") {
+        noop(base.select(Scores.digitRuns(col("t")).as("x")))
+      }
+      time(s"digit_runs chain (run $r)") {
+        noop(base.select(Scores.digitRunsColumn(col("t")).as("x")))
+      }
+    }
+    base.unpersist()
   }
 
   /** Expression-level isolation of the tsr corpus chain: where do the

@@ -209,8 +209,17 @@ object Matcher {
     // for). Plan shape asserted in MatcherSpec.
     def coPartitionedJoin(): DataFrame =
       heavyCols(l0, "left").join(heavyCols(r0, "right"), Seq("block_key"), "inner")
+    // r06: the scoring join is hinted shuffled-hash with the LEFT side
+    // as build — the planner can't prove sizes here (derived subplans,
+    // no stats) and falls back to sort-merge, paying two full sorts of
+    // the candidate rows for a join whose output is consumed unsorted
+    // (the top-k window re-partitions by left_id anyway). The left side
+    // is the matcher's batch side (the smaller one in every production
+    // shape — see bloomPregateSide), and after salting it is spread by
+    // hash(left_id), so per-partition build maps stay small at scale.
     def plainJoin(): DataFrame =
       heavyCols(l0.repartition(parts, col("block_key")), "left")
+        .hint("shuffle_hash")
         .join(heavyCols(r0.repartition(parts, col("block_key")), "right"),
           Seq("block_key"), "inner")
     def saltedJoin(hotKeys: DataFrame): DataFrame =
@@ -241,9 +250,16 @@ object Matcher {
           case _ =>
             // sort before limit for the same reason as the snapshot
             // branch above: the capped subset must be deterministic
-            // across the two evaluations of the hot-flag subplan
-            l0.groupBy("block_key").agg(count(lit(1)).as("nl"))
-              .join(r0.groupBy("block_key").agg(count(lit(1)).as("nr")), "block_key")
+            // across the two evaluations of the hot-flag subplan.
+            // r06: ONE union-tagged aggregation instead of two per-side
+            // aggregations + an equi-join — same hot set (a key missing
+            // on either side has nl·nr = 0 and fails the threshold,
+            // exactly as the inner join dropped it), one exchange and
+            // two fewer AQE stages (guide §2.4).
+            l0.select(col("block_key"), lit(1L).as("__l"))
+              .unionAll(r0.select(col("block_key"), lit(0L).as("__l")))
+              .groupBy("block_key")
+              .agg(sum(col("__l")).as("nl"), sum(lit(1L) - col("__l")).as("nr"))
               .filter(col("nl") * col("nr") >= cfg.saltHotPairs)
               .select("block_key")
               .sort("block_key")
@@ -410,7 +426,8 @@ object Matcher {
             when(col("__is_hot"), lit(saltBuckets - 1)).otherwise(lit(0)))))
         .drop("__is_hot")
         .repartition(parts, col(key), col("salt")))
-    lSalt.join(rSalt, Seq(key, "salt"), "inner").drop("salt")
+    // shuffled-hash, left build — same rationale as plainJoin (r06)
+    lSalt.hint("shuffle_hash").join(rSalt, Seq(key, "salt"), "inner").drop("salt")
   }
 
   /** The per-pair text scorer for this cfg (r06): the pre-tokenized

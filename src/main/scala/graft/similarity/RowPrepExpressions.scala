@@ -56,26 +56,54 @@ object RowPrepOps {
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
   def sortedTokenSet(s: UTF8String): ArrayData = {
-    val n = s.numBytes()
-    val seen = new java.util.HashSet[UTF8String]()
-    val toks = new java.util.ArrayList[UTF8String]()
+    // one materialization of the backing bytes; every token is a
+    // zero-copy VIEW (fromBytes(bytes, off, len)) — at millions of
+    // post-shuffle rows × hundreds of tokens, per-token byte copies and
+    // per-row hash sets measurably drag the scoring join (first fused
+    // attempt cost ~30% of match throughput; see OPTIMIZATION_r06.md)
+    val bytes = s.getBytes
+    val n = bytes.length
+    var count = 0
     var i = 0
     while (i < n) {
-      if (isJavaSpace(s.getByte(i))) i += 1
+      if (isJavaSpace(bytes(i))) i += 1
+      else {
+        count += 1
+        i += 1
+        while (i < n && !isJavaSpace(bytes(i))) i += 1
+      }
+    }
+    if (count == 0) return emptyArray
+    val arr = new Array[UTF8String](count)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (isJavaSpace(bytes(i))) i += 1
       else {
         val start = i
         i += 1
-        while (i < n && !isJavaSpace(s.getByte(i))) i += 1
-        val bytes = new Array[Byte](i - start)
-        var j = 0
-        while (j < bytes.length) { bytes(j) = s.getByte(start + j); j += 1 }
-        val tok = UTF8String.fromBytes(bytes)
-        if (seen.add(tok)) toks.add(tok)
+        while (i < n && !isJavaSpace(bytes(i))) i += 1
+        arr(w) = UTF8String.fromBytes(bytes, start, i - start)
+        w += 1
       }
     }
-    val arr = toks.toArray(new Array[UTF8String](toks.size()))
+    // sort, then adjacent-dedup: same set + same order as
+    // array_sort(array_distinct(...)), no per-row hash table
     java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.binaryCompare(b))
-    new GenericArrayData(arr.asInstanceOf[Array[AnyRef]])
+    var out = count
+    w = 1
+    i = 1
+    while (i < count) {
+      if (!arr(i).equals(arr(w - 1))) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    out = w
+    if (out == count) new GenericArrayData(arr.asInstanceOf[Array[AnyRef]])
+    else {
+      val trimmed = new Array[AnyRef](out)
+      System.arraycopy(arr, 0, trimmed, 0, out)
+      new GenericArrayData(trimmed)
+    }
   }
 }
 

@@ -26,7 +26,8 @@ object Scores {
     * byte-pass expression ([[DigitRuns]]), exact for all UTF-8 input and
     * property-tested equal to the regexp_extract_all formulation. */
   def digitRuns(c: Column): Column =
-    org.apache.spark.sql.GraftShim.column(
+    if (sys.env.get("GRAFT_FUSED_PREP").contains("0")) digitRunsColumn(c)
+    else org.apache.spark.sql.GraftShim.column(
       DigitRuns(org.apache.spark.sql.GraftShim.expression(c)))
 
   /** The regex formulation of [[digitRuns]] — spec oracle. */
@@ -70,11 +71,22 @@ object Scores {
       wText: Double = 0.8,
       wDigits: Double = 0.2,
       wGeo: Double = 0.2): Column = {
-    val dW = when(digits.isNull, 0.0).otherwise(wDigits)
-    val gW = when(geo.isNull, 0.0).otherwise(wGeo)
-    val total = lit(wText) + dW + gW
-    val sum = text * wText + coalesce(digits, lit(0.0)) * dW +
-      coalesce(geo, lit(0.0)) * gW
+    // r06: each input is mentioned at most TWICE (a null-test and a
+    // product). The previous formulation mentioned geo ~6× (isNull +
+    // coalesce + weight CASE, twice each across sum and total), and
+    // since `geo` is itself a large haversine CASE tree, the expression
+    // SOURCE grew ~4× — runtime was fine (codegen subexpression
+    // elimination, measured at parity in r05) but Janino compilation of
+    // the duplicated tree dominated each plan's first execution.
+    // Arithmetic is bit-identical: `coalesce(x * w, 0)` ≡
+    // `coalesce(x, 0) * (CASE WHEN x IS NULL THEN 0 ELSE w END)` for
+    // finite w (null→0 either way, else the same double product), and
+    // the active-weight total is unchanged.
+    val total = lit(wText) +
+      when(digits.isNull, 0.0).otherwise(wDigits) +
+      when(geo.isNull, 0.0).otherwise(wGeo)
+    val sum = text * wText + coalesce(digits * wDigits, lit(0.0)) +
+      coalesce(geo * wGeo, lit(0.0))
     round(sum / total, 2)
   }
 
