@@ -26,11 +26,13 @@ object CcDebug {
     System.err.println(f"[cc-debug] match edges=$m%d in $tMatch%.1fs (cached)")
     sys.env.get("DEBUG_AQE").foreach(v => s.conf.set("spark.sql.adaptive.enabled", v))
     sys.env.get("DEBUG_PARTS").foreach(v => s.conf.set("spark.sql.shuffle.partitions", v))
+    val checkEvery = sys.env.get("DEBUG_CHECK_EVERY").map(_.toInt).getOrElse(1)
     for (run <- 1 to 2) {
       val t1 = System.nanoTime()
-      val c = ConnectedComponents.run(matches, "left_id", "right_id").count()
+      val c = ConnectedComponents.run(matches, "left_id", "right_id",
+        checkEvery = checkEvery).count()
       System.err.println(
-        f"[cc-debug] run $run%d: components rows=$c%d cc wall=${(System.nanoTime() - t1) / 1e9}%.1fs")
+        f"[cc-debug] run $run%d: components rows=$c%d cc wall=${(System.nanoTime() - t1) / 1e9}%.1fs (checkEvery=$checkEvery%d)")
     }
     s.stop()
     Runtime.getRuntime.halt(0)

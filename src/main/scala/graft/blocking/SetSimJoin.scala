@@ -1,6 +1,6 @@
 package graft.blocking
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,19 @@ object SetSimJoin {
     * Dice     D = 2i/(la+lb) ≥ t ⇒ i(2−t) ≥ t·la ⇒ i ≥ t·la/(2−t) → f = t/(2−t).
     * The same f bounds partner lengths: f·la ≤ lb ≤ la/f (prune-only).
     */
+  /** The family's per-row verify token set (r06): sorted distinct
+    * tokens under the membership tokenizer (split on ' ', drop
+    * empties), computed by the fused
+    * [[graft.similarity.SortedTokenSet]] expression with NO shuffle —
+    * element-identical to `sort_array(collect_list(tok))` over the
+    * exploded membership for the family's one-record-per-id inputs
+    * (the DuckDB mirrors group by id under the same assumption). Each
+    * verify stage that previously re-aggregated membership saves one
+    * exchange + one ObjectHashAggregate per side (guide §2.4). */
+  private def rowTokenSet(c: Column): Column =
+    org.apache.spark.sql.GraftShim.column(graft.similarity.SortedTokenSet(
+      org.apache.spark.sql.GraftShim.expression(c), spaceOnly = true))
+
   private def prefixFactor(sim: String, t: Double): Double = sim match {
     case "jaccard" => t
     case "cosine"  => t * t
@@ -82,11 +95,10 @@ object SetSimJoin {
     val cand = candidates(left, right, threshold, sim, idCol, textCol, positional)
     val lm = MetaBlocking.membership(left, idCol, textCol)
     val rm = MetaBlocking.membership(right, idCol, textCol)
-    // Verification: exact similarity against pre-collected token
-    // arrays — per-candidate cost, the corpus is never re-shuffled.
-    def sets(m: DataFrame, side: String) =
-      m.groupBy(col("id").as(side + "_id"))
-        .agg(sort_array(collect_list(col("tok"))).as(side + "_ts"))
+    // Verification: exact similarity against per-row token sets
+    // ([[rowTokenSet]], r06 — no membership re-aggregation), so the
+    // per-candidate cost is two id-keyed joins and the corpus is never
+    // re-shuffled.
     val inter = size(array_intersect(col("l_ts"), col("r_ts"))).cast("double")
     val score = sim match {
       case "jaccard" => inter / (col("la") + col("lb") - inter).cast("double")
@@ -94,8 +106,10 @@ object SetSimJoin {
       case _         => lit(2.0) * inter / (col("la") + col("lb")).cast("double")
     }
     cand
-      .join(sets(lm, "l").withColumnRenamed("l_id", "left_id"), Seq("left_id"))
-      .join(sets(rm, "r").withColumnRenamed("r_id", "right_id"), Seq("right_id"))
+      .join(left.select(col(idCol).as("left_id"), rowTokenSet(col(textCol)).as("l_ts")),
+        Seq("left_id"))
+      .join(right.select(col(idCol).as("right_id"), rowTokenSet(col(textCol)).as("r_ts")),
+        Seq("right_id"))
       .select(col("left_id"), col("right_id"), score.as("score"))
       .filter(col("score") >= lit(threshold))
   }
@@ -394,12 +408,11 @@ object SetSimJoin {
     val cand = lp
       .join(rm.select(col("id").as("right_id"), col("tok")), Seq("tok"))
       .select("left_id", "right_id").distinct()
-    def sets(m: DataFrame, out: String) =
-      m.groupBy(col("id").as(out))
-        .agg(sort_array(collect_list(col("tok"))).as(out + "_ts"))
     cand
-      .join(sets(lm, "left_id"), Seq("left_id"))
-      .join(sets(rm, "right_id"), Seq("right_id"))
+      .join(left.select(col(idCol).as("left_id"),
+        rowTokenSet(col(textCol)).as("left_id_ts")), Seq("left_id"))
+      .join(right.select(col(idCol).as("right_id"),
+        rowTokenSet(col(textCol)).as("right_id_ts")), Seq("right_id"))
       .select(col("left_id"), col("right_id"),
         (size(array_intersect(col("left_id_ts"), col("right_id_ts"))).cast("double") /
           size(col("left_id_ts")).cast("double")).as("score"))
@@ -475,14 +488,26 @@ object SetSimJoin {
         // positional filter, integer-exact (prune-only)
         .filter(least(col("la") - col("pa0"), col("lb") - col("pb0")) + 1 >= c)
         .select("left_id", "right_id")
-      def sets(m: DataFrame, side: String) =
-        m.groupBy(col("id").as(side + "_id"))
-          .agg(sort_array(collect_list(col("tok"))).as(side + "_ts"))
+      // r06: the verify token sets are PER-ROW values — sorted distinct
+      // tokens of the record's own text under the family's tokenizer
+      // (split on ' ', drop empties). The groupBy(id) +
+      // sort_array(collect_list(tok)) formulation re-aggregated the
+      // exploded membership: one exchange + one ObjectHashAggregate per
+      // side for arrays that a fused single-pass expression
+      // ([[graft.similarity.SortedTokenSet]] spaceOnly) computes with
+      // ZERO shuffle, element-identical for unique-id inputs (which the
+      // family's id contract — one record per id — already requires;
+      // the DuckDB mirrors group by id the same way). Guide §2.4.
+      def sets(src: DataFrame, side: String) =
+        src.select(col(idCol).as(side + "_id"),
+          org.apache.spark.sql.GraftShim.column(graft.similarity.SortedTokenSet(
+            org.apache.spark.sql.GraftShim.expression(col(textCol)),
+            spaceOnly = true)).as(side + "_ts"))
       cand
-        .join(sets(lm, "l").withColumnRenamed("l_id", "left_id"), Seq("left_id"))
-        .join(sets(rm, "r").withColumnRenamed("r_id", "right_id"), Seq("right_id"))
+        .join(sets(left, "left"), Seq("left_id"))
+        .join(sets(right, "right"), Seq("right_id"))
         .select(col("left_id"), col("right_id"),
-          size(array_intersect(col("l_ts"), col("r_ts"))).cast("bigint").as("overlap"))
+          size(array_intersect(col("left_ts"), col("right_ts"))).cast("bigint").as("overlap"))
         .filter(col("overlap") >= c)
     }
     if (!eagerResult) result
@@ -641,12 +666,11 @@ object SetSimJoin {
         .join(r.select(col("id").as("right_id"), col("tok")), Seq("tok"))
         .select("left_id", "right_id")
     val cand = leg(prefix(lm), rm).unionAll(leg(lm, prefix(rm))).distinct()
-    def sets(m: DataFrame, out: String) =
-      m.groupBy(col("id").as(out))
-        .agg(sort_array(collect_list(col("tok"))).as(out + "_ts"))
     cand
-      .join(sets(lm, "left_id"), Seq("left_id"))
-      .join(sets(rm, "right_id"), Seq("right_id"))
+      .join(left.select(col(idCol).as("left_id"),
+        rowTokenSet(col(textCol)).as("left_id_ts")), Seq("left_id"))
+      .join(right.select(col(idCol).as("right_id"),
+        rowTokenSet(col(textCol)).as("right_id_ts")), Seq("right_id"))
       .select(col("left_id"), col("right_id"),
         (size(array_intersect(col("left_id_ts"), col("right_id_ts"))).cast("double") /
           least(size(col("left_id_ts")), size(col("right_id_ts"))).cast("double"))

@@ -55,6 +55,53 @@ object RowPrepOps {
   @inline private def isJavaSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
+  /** [[sortedTokenSet]] with the set-sim family's tokenizer (split on
+    * the single space character, like `split(c, " ")` + drop-empties —
+    * NOT java `\s`): sorted distinct tokens, byte-exact for all UTF-8.
+    * Equals `sort_array(collect_list(tok))` over the family's exploded
+    * (id, tok) membership for a unique-id row. */
+  def sortedTokenSetSpace(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') i += 1
+      else {
+        count += 1
+        i += 1
+        while (i < n && bytes(i) != ' ') i += 1
+      }
+    }
+    if (count == 0) return emptyArray
+    val arr = new Array[UTF8String](count)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') i += 1
+      else {
+        val start = i
+        i += 1
+        while (i < n && bytes(i) != ' ') i += 1
+        arr(w) = UTF8String.fromBytes(bytes, start, i - start)
+        w += 1
+      }
+    }
+    java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.binaryCompare(b))
+    w = 1
+    i = 1
+    while (i < count) {
+      if (!arr(i).equals(arr(w - 1))) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    if (w == count) new GenericArrayData(arr.asInstanceOf[Array[AnyRef]])
+    else {
+      val trimmed = new Array[AnyRef](w)
+      System.arraycopy(arr, 0, trimmed, 0, w)
+      new GenericArrayData(trimmed)
+    }
+  }
+
   def sortedTokenSet(s: UTF8String): ArrayData = {
     // one materialization of the backing bytes; every token is a
     // zero-copy VIEW (fromBytes(bytes, off, len)) — at millions of
@@ -124,8 +171,8 @@ case class DigitRuns(child: Expression)
     copy(child = newChild)
 }
 
-/** See [[RowPrepOps.sortedTokenSet]]. */
-case class SortedTokenSet(child: Expression)
+/** See [[RowPrepOps.sortedTokenSet]] / [[RowPrepOps.sortedTokenSetSpace]]. */
+case class SortedTokenSet(child: Expression, spaceOnly: Boolean = false)
     extends UnaryExpression with Serializable {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
@@ -133,10 +180,15 @@ case class SortedTokenSet(child: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires string, got ${child.dataType.simpleString}")
   override def nullSafeEval(input: Any): Any =
-    RowPrepOps.sortedTokenSet(input.asInstanceOf[UTF8String])
+    if (spaceOnly) RowPrepOps.sortedTokenSetSpace(input.asInstanceOf[UTF8String])
+    else RowPrepOps.sortedTokenSet(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.similarity.RowPrepOps.sortedTokenSet($c)")
-  override def prettyName: String = "sorted_token_set"
+    if (spaceOnly)
+      defineCodeGen(ctx, ev, c => s"graft.similarity.RowPrepOps.sortedTokenSetSpace($c)")
+    else
+      defineCodeGen(ctx, ev, c => s"graft.similarity.RowPrepOps.sortedTokenSet($c)")
+  override def prettyName: String =
+    if (spaceOnly) "sorted_token_set_space" else "sorted_token_set"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -50,6 +50,23 @@ class RowPrepExpressionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("spaceOnly token set equals the membership aggregation formulation") {
+    import spark.implicits._
+    val inputs = Seq("", " ", "a b a", "zz aa  zz", "tab\tkeeps together",
+      "çğ ü é", "x", "a  b   c", " lead trail ")
+    val spaceSet = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.GraftShim.column(SortedTokenSet(
+        org.apache.spark.sql.GraftShim.expression(c), spaceOnly = true))
+    val chain = (c: org.apache.spark.sql.Column) =>
+      array_sort(array_distinct(filter(split(c, " "), t => t =!= "")))
+    val rows = inputs.toDF("s")
+      .select(col("s"), spaceSet(col("s")).as("f"), chain(col("s")).as("c"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"input='${r.getString(0)}'")
+    }
+  }
+
   test("null semantics") {
     import spark.implicits._
     val r = Seq[Option[String]](None).toDF("s")
