@@ -287,6 +287,11 @@ object BenchExtra {
     time("baseline noop (ids only)") { noop(pairs.select("left_id", "right_id")) }
     val lev = FuzzFunctions.scorer("lev_ratio")(col("left_text"), col("right_text"))
     time("lev_ratio only") { noop(pairs.select(col("left_id"), lev.as("t"))) }
+    // the bound the addr suite cfg actually implies (threshold 75,
+    // weights .8/.15/.05, hasGeo) — see Matcher.minTextScore
+    val levB = FuzzFunctions.lev_ratio_bounded(
+      col("left_text"), col("right_text"), 68.74249999999999)
+    time("lev_ratio_bounded only") { noop(pairs.select(col("left_id"), levB.as("t"))) }
     time("lev_ratio x2 (dup cost probe)") {
       noop(pairs.select(col("left_id"), lev.as("t1"), lev.as("t2")))
     }

@@ -158,21 +158,36 @@ object GoldenRecord {
   /** The recompute set for ANY per-cluster derived table between two
     * assignment snapshots: (labels to recompute, prior labels to
     * drop). A component is untouched ⇔ none of its members changed
-    * label; since CC labels are the component's min member id, an
-    * untouched component has an identical member set AND label, so its
-    * derived row (survivorship, medoid) is still exact — the same
-    * touched-keys argument as incremental sessionization. Cost: one
-    * id-keyed join of two vertex-sized assignment tables + two small
-    * distincts; no cluster CONTENT is read for untouched components. */
+    * label, appeared, or VANISHED; since CC labels are the component's
+    * min member id, an untouched component has an identical member set
+    * AND label, so its derived row (survivorship, medoid) is still
+    * exact — the same touched-keys argument as incremental
+    * sessionization. r06 (ADVICE r05): ids present in the prior
+    * snapshot but absent from the new one — the shrink case the
+    * grow/merge-only precondition used to leave silently stale — now
+    * put their OLD component into both sets, so its prior row is
+    * dropped and, if the label still has members, recomputed from the
+    * new snapshot (a label with no remaining members simply emits no
+    * row). The one remaining documented precondition is record-text
+    * immutability: a changed text under an unchanged (id, component)
+    * is invisible to any assignment diff. Cost: one id-keyed join plus
+    * one anti-join of vertex-sized assignment tables; no cluster
+    * CONTENT is read for untouched components. */
   private def touchedComponents(
       priorAsg: DataFrame, newAsg: DataFrame): (DataFrame, DataFrame) = {
     val moved = newAsg.join(
       priorAsg.withColumnRenamed("component", "old_component"), Seq("id"), "left")
       .filter(col("old_component").isNull ||
         col("old_component") =!= col("component"))
-    (moved.select("component").distinct(),
-      moved.filter(col("old_component").isNotNull)
-        .select(col("old_component").as("component")).distinct())
+    val vanished = priorAsg.join(newAsg.select("id"), Seq("id"), "left_anti")
+      .select(col("component").as("old_component"))
+    val stale = moved.filter(col("old_component").isNotNull)
+      .select("old_component").unionByName(vanished)
+      .select(col("old_component").as("component")).distinct()
+    (moved.select("component")
+      .unionByName(vanished.select(col("old_component").as("component")))
+      .distinct(),
+      stale)
   }
 
   private def asgCanon(df: DataFrame, idCol: String, componentCol: String) =

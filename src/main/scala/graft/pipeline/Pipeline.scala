@@ -86,6 +86,16 @@ object Pipeline {
       splitMinScore: Double = 95.0): Result = {
     require(decision == "threshold" || decision == "fs",
       s"decision must be 'threshold' or 'fs': '$decision'")
+    // Score scales differ per decision path: the threshold path's
+    // matches carry the 0-100 fuzz score, the fs path's carry an EM
+    // POSTERIOR in [0,1]. The default splitMinScore (95.0) silently
+    // strips EVERY internal edge of an oversized cluster under fs
+    // (all posteriors < 95 → shattered into singletons with no error),
+    // so reject the combination loudly (ADVICE r05).
+    require(decision != "fs" || splitMaxMembers.isEmpty || splitMinScore <= 1.0,
+      s"decision='fs' scores are posteriors in [0,1] but splitMinScore=$splitMinScore " +
+        "is on the 0-100 fuzz scale; pass a splitMinScore <= 1.0 " +
+        "(e.g. the review-zone lower posterior) when splitting fs clusters")
     val cfgHash = TableIO.lineageHash(Map(
       "scorer" -> cfg.scorer, "threshold" -> cfg.threshold.toString,
       "topk" -> cfg.topk.toString, "block" -> cfg.blockBy,

@@ -91,19 +91,29 @@ object Transcripts {
         col("vtext"))
   }
 
-  /** The transcript table: one row per turn, schema = [[Turn]]. */
+  /** The transcript table: one row per turn, schema = [[Turn]].
+    *
+    * r06: the turn rows come from `posexplode(char_chunks(vtext))` —
+    * one fused pass per doc ([[Chunks]]) — instead of
+    * `explode(sequence(0, ceil(len/w)-1))` + a per-turn `substring`
+    * whose O(position) scan made the chunking O(len²/w) per doc.
+    * `pos` IS the former turn_idx (0-based, int) and the chunk the
+    * former substring, including the empty-string → one-empty-turn and
+    * null-text → one-null-turn edge cases (spec-tested equivalent;
+    * the DuckDB oracle mirror below is unchanged). */
   def turns(spark: SparkSession, sfDir: String, variants: Int = 3): Dataset[Turn] = {
     import spark.implicits._
     convDocs(spark, sfDir, variants)
-      .withColumn("turn_idx",
-        explode(sequence(lit(0),
-          greatest(ceil(length(col("vtext")) / ChunkSize) - 1, lit(0)).cast("int"))))
+      .select(col("conv_id"), col("entity_id"), col("variant"),
+        posexplode(org.apache.spark.sql.GraftShim.column(
+          Chunks(org.apache.spark.sql.GraftShim.expression(col("vtext")), ChunkSize)))
+          .as(Seq("turn_idx", "text")))
       .select(
         col("conv_id"),
         col("turn_idx").cast("int").as("turn_idx"),
         expr(s"CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END")
           .as("role"),
-        expr(s"substring(vtext, turn_idx * $ChunkSize + 1, $ChunkSize)").as("text"),
+        col("text"),
         expr(
           s"""CASE WHEN turn_idx % 3 = 2 THEN
              |  ${toolCaseSql("(entity_id * 7 + turn_idx * 5 + variant)")}

@@ -202,6 +202,29 @@ class GoldenRecordSpec extends SparkSpec {
       fullM.collect().map(_.toString).toSet)
   }
 
+  test("incremental fold handles vanished members and vanished clusters (r06)") {
+    // prior: A={a1,a2} label 1, B={b1,b2} label 2. New snapshot: a2
+    // VANISHED (A shrinks but label 1 persists through a1) and B
+    // vanished entirely. The r05 shape silently kept both stale rows
+    // (touchedComponents only scanned the new side — ADVICE r05);
+    // now A is recomputed from its surviving member and B's row drops.
+    val r = recs("a1" -> "ankara", "a2" -> "ankr", "b1" -> "izmir", "b2" -> "izmr")
+    val priorA = asg("a1" -> 1L, "a2" -> 1L, "b1" -> 2L, "b2" -> 2L)
+    val newA = asg("a1" -> 1L)
+    val priorGolden = GoldenRecord.merge(r, priorA)
+    val got = GoldenRecord.mergeIncremental(priorGolden, priorA, newA, r)
+    val full = GoldenRecord.merge(
+      r.join(newA.select("id"), Seq("id"), "left_semi"), newA)
+    assert(got.collect().map(_.toString).toSet ==
+      full.collect().map(_.toString).toSet)
+    val priorMed = GoldenRecord.medoid(r, priorA)
+    val gotM = GoldenRecord.medoidIncremental(priorMed, priorA, newA, r)
+    val fullM = GoldenRecord.medoid(
+      r.join(newA.select("id"), Seq("id"), "left_semi"), newA)
+    assert(gotM.collect().map(_.toString).toSet ==
+      fullM.collect().map(_.toString).toSet)
+  }
+
   test("incremental survivorship == full on the fixture CC split") {
     import org.apache.spark.sql.functions.{hash => shash, pmod, not, lit}
     val recsF = graft.SparkEntry.addrNorm(

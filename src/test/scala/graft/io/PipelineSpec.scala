@@ -31,6 +31,17 @@ class PipelineSpec extends SparkSpec {
       s"pipeline run left RDDs pinned in executor storage: $leaked")
   }
 
+  test("fs decision rejects a fuzz-scale splitMinScore (r06 guard)") {
+    // posteriors live in [0,1]; the 0-100 default would silently strip
+    // every internal edge of an oversized fs cluster (ADVICE r05)
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, sf0001,
+        java.nio.file.Files.createTempDirectory("graft_pipe_guard").toString,
+        cfg, decision = "fs", splitMaxMembers = Some(2))
+    }
+    assert(e.getMessage.contains("posterior"), e.getMessage)
+  }
+
   test("fs decision: committed resumable stage chain; link-zone recall >= threshold path") {
     import org.apache.spark.sql.DataFrame
     import graft.matching.FellegiSunter
