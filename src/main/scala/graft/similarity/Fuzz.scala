@@ -456,6 +456,13 @@ object Fuzz {
     val n = l.numBytes()
     if (n - m > bound) return bound + 1
     if (m == 0) return n // <= bound by the line above
+    // r06: patterns up to 64 chars take Myers' bit-parallel algorithm
+    // (Myers 1999 / Hyyrö 2001) — the EXACT distance in ~n word ops
+    // instead of the banded DP's ~n·band cell ops; on ~60-char
+    // normalized addresses that is ~10× fewer operations than the
+    // band (which barely prunes at the match threshold's bound).
+    // Exact d satisfies the contract (d when ≤ bound, else > bound).
+    if (m <= 64) return levenshteinMyers64(s, l)
     val inf = bound + 1
     var prev = new Array[Int](m + 1)
     var cur = new Array[Int](m + 1)
@@ -487,6 +494,61 @@ object Fuzz {
       i += 1
     }
     if (prev(m) > bound) bound + 1 else prev(m)
+  }
+
+  /** Per-thread scratch for [[levenshteinMyers64]]: 256 pattern
+    * bitmasks, generation-stamped so reset costs O(distinct bytes of
+    * the pattern), not O(256). */
+  private final class MyersScratch {
+    val peq = new Array[Long](256)
+    val gen = new Array[Long](256)
+    var cur = 0L
+  }
+  private val myersTL = new ThreadLocal[MyersScratch] {
+    override def initialValue(): MyersScratch = new MyersScratch
+  }
+
+  /** Myers' bit-parallel Levenshtein (single-word; Hyyrö's
+    * formulation) over ASCII bytes. Caller guarantees: both inputs
+    * all-ASCII, `1 <= s.numBytes <= 64`, `s.numBytes <= l.numBytes`.
+    * Returns the EXACT unit-cost edit distance — property-tested
+    * against Spark's `UTF8String.levenshteinDistance` (FuzzSpec). */
+  private def levenshteinMyers64(
+      s: org.apache.spark.unsafe.types.UTF8String,
+      l: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val m = s.numBytes()
+    val n = l.numBytes()
+    val sc = myersTL.get()
+    sc.cur += 1
+    val g = sc.cur
+    var j = 0
+    while (j < m) {
+      val c = s.getByte(j) & 0xff
+      if (sc.gen(c) != g) { sc.peq(c) = 0L; sc.gen(c) = g }
+      sc.peq(c) |= 1L << j
+      j += 1
+    }
+    var pv = if (m == 64) -1L else (1L << m) - 1L
+    var mv = 0L
+    var score = m
+    val hibit = 1L << (m - 1)
+    var i = 0
+    while (i < n) {
+      val c = l.getByte(i) & 0xff
+      val eq = if (sc.gen(c) == g) sc.peq(c) else 0L
+      val xv = eq | mv
+      val xh = (((eq & pv) + pv) ^ pv) | eq
+      var ph = mv | ~(xh | pv)
+      var mh = pv & xh
+      if ((ph & hibit) != 0L) score += 1
+      else if ((mh & hibit) != 0L) score -= 1
+      ph = (ph << 1) | 1L
+      mh = mh << 1
+      pv = mh | ~(xv | ph)
+      mv = ph & xv
+      i += 1
+    }
+    score
   }
 
   /** Threshold-aware `lev_ratio`: identical to

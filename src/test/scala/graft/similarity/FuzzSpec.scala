@@ -272,6 +272,20 @@ class FuzzSpec extends SparkSpec {
     })
   }
 
+  test("property: Myers bit-parallel path exact at the 64-char boundary (r06)") {
+    // lengths clustered around 64 so both the single-word Myers path
+    // (m <= 64) and the banded DP (m > 64) run, against BOTH the naive
+    // DP and Spark's own levenshteinDistance
+    val chars = Gen.oneOf("ab1 ".toSeq) // tiny alphabet → dense matches
+    val len = Gen.frequency((3, Gen.chooseNum(55, 70)), (1, Gen.chooseNum(0, 120)))
+    val str = len.flatMap(n => Gen.stringOfN(n, chars))
+    check(Prop.forAll(str, str) { (a, b) =>
+      val ref = levNaive(a, b)
+      ref == Fuzz.levenshteinWithin(utf8(a), utf8(b), 200) &&
+        ref == utf8(a).levenshteinDistance(utf8(b))
+    })
+  }
+
   test("lev_ratio_bounded expression survives codegen and matches scalar") {
     import spark.implicits._
     val rows = Seq(
