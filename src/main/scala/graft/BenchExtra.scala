@@ -412,7 +412,13 @@ object BenchExtra {
     dump("sessionize_events", graft.sessions.Sessionize.sessionStats(
       graft.sessions.Sessionize.assignSessions(ev, gapSeconds = 43200L)))
     dump("ann_brute", ExtraQueries.queries("v_ann_brute")(s, dir))
-    dump("minhash_dedup", ExtraQueries.queries("d_minhash_pairs")(s, dir))
+    // eagerResult=false: the shipped query ends in an eager
+    // localCheckpoint, whose returned frame is a bare RDD scan — the
+    // escape hatch returns the LAZY plan the checkpoint materializes
+    dump("minhash_dedup", graft.dedup.Dedup.minhashLshPairs(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      k = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.5,
+      eagerResult = false))
     val lhs = SparkEntry.addrNorm(AddressFixture.left(s, dir))
     val rhs = SparkEntry.addrNorm(AddressFixture.rightAll(s, dir))
     val m = Matcher.matchPairs(lhs, rhs, Bench.addrSaltedCfg,
@@ -436,6 +442,7 @@ object BenchExtra {
     dump("setsim_overlap", graft.blocking.SetSimJoin.overlapJoin(
       convS.filter(col("variant") === 0),
       convS.filter(col("variant") > 0),
-      minOverlap = 30, idCol = "conv_id", textCol = "text_norm"))
+      minOverlap = 30, idCol = "conv_id", textCol = "text_norm",
+      eagerResult = false))
   }
 }

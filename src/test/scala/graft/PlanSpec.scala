@@ -150,9 +150,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "soft-tfidf candidate explode degenerated to a cartesian")
     // the token×token fan-out must come from equi-joins on the pair
-    // ids, never a nested-loop over the corpus
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"nested-loop join in the enrich plan:\n$p")
+    // ids, never a nested-loop over the corpus. The ONE allowed
+    // nested-loop shape is the broadcast 1-row corpus-count join that
+    // makes the weights build lazy (r06, the AssignmentDrift
+    // metric-assembly pattern): every BNLJ node must build the
+    // broadcast (right) side, and the count column must be in the plan
+    // — a lost join key over the corpus would instead surface as a
+    // big-side nested loop or a CartesianProduct.
+    // tree lines only (detail-section headers "(N) BroadcastNested…"
+    // repeat each node without its build-side tag)
+    val bnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(_.trim.startsWith("(")).toSeq
+    assert(bnlj.isEmpty ||
+      (p.contains("__n_docs") && bnlj.forall(_.contains("Cross BuildRight"))),
+      s"nested-loop join beyond the 1-row count in the enrich plan:\n$p")
     graft.util.CheckpointHygiene.free(pairs)
   }
 
