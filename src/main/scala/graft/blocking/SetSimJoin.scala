@@ -53,7 +53,14 @@ object SetSimJoin {
     * exploded membership for the family's one-record-per-id inputs
     * (the DuckDB mirrors group by id under the same assumption). Each
     * verify stage that previously re-aggregated membership saves one
-    * exchange + one ObjectHashAggregate per side (guide §2.4). */
+    * exchange + one ObjectHashAggregate per side (guide §2.4).
+    *
+    * PRECONDITION (now as before, but worth naming since the guard is
+    * structural, not asserted): `idCol` identifies ONE record — the
+    * whole family (candidates' la/lb, the oracle mirrors' per-id
+    * grouping) is already undefined under duplicate ids, and with
+    * per-row sets a duplicate id would additionally fan out the
+    * verify join. */
   private def rowTokenSet(c: Column): Column =
     org.apache.spark.sql.GraftShim.column(graft.similarity.SortedTokenSet(
       org.apache.spark.sql.GraftShim.expression(c), spaceOnly = true))
@@ -93,8 +100,6 @@ object SetSimJoin {
       textCol: String = "text",
       positional: Boolean = true): DataFrame = {
     val cand = candidates(left, right, threshold, sim, idCol, textCol, positional)
-    val lm = MetaBlocking.membership(left, idCol, textCol)
-    val rm = MetaBlocking.membership(right, idCol, textCol)
     // Verification: exact similarity against per-row token sets
     // ([[rowTokenSet]], r06 — no membership re-aggregation), so the
     // per-candidate cost is two id-keyed joins and the corpus is never
@@ -500,9 +505,7 @@ object SetSimJoin {
       // the DuckDB mirrors group by id the same way). Guide §2.4.
       def sets(src: DataFrame, side: String) =
         src.select(col(idCol).as(side + "_id"),
-          org.apache.spark.sql.GraftShim.column(graft.similarity.SortedTokenSet(
-            org.apache.spark.sql.GraftShim.expression(col(textCol)),
-            spaceOnly = true)).as(side + "_ts"))
+          rowTokenSet(col(textCol)).as(side + "_ts"))
       cand
         .join(sets(left, "left"), Seq("left_id"))
         .join(sets(right, "right"), Seq("right_id"))

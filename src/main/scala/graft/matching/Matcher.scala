@@ -187,7 +187,10 @@ object Matcher {
     // coalescing would otherwise funnel a few-MB shuffle into a handful
     // of tasks and serialize millions of scored pairs onto 2 cores —
     // observed exactly that on the sf0.1 bench before this fix.
-    // AQE skew-join still splits runtime skew *within* the join.
+    // (Honesty note, r06: because the repartition is user-specified,
+    // AQE's skew-join splitting does NOT rebalance these exchanges —
+    // salting is the skew defense here, which is why it is on by
+    // default in every shipped config.)
     //
     // Salting (saltBuckets > 1) is TARGETED: block keys whose
     // candidate-pair volume |L_k|·|R_k| >= saltHotPairs are computed as
@@ -201,7 +204,13 @@ object Matcher {
     // join semantics as a blanket salt (tested). The hot set is small
     // by construction (it is the set of pathological blocks); the
     // `limit` caps the broadcast — any key beyond the cap simply stays
-    // unsalted (perf-only: AQE skew-join still splits it at runtime).
+    // unsalted. With the r06 shuffled-hash hint an unsalted
+    // pathological key builds one in-memory hash map cell (the left
+    // rows of that key), where sort-merge would have spilled: if a
+    // corpus can exceed the cap AND carries such keys, raise the cap
+    // or pre-split upstream — the cap is sized three orders of
+    // magnitude above any observed hot set precisely so this stays
+    // a documented corner, not a default behavior.
     val parts = graft.util.Parallelism.explodingJoin(left.sparkSession)
     // coPartitioned: the sides arrived bucketed on block_key (equal
     // bucket counts), so the join needs no exchange at all — do NOT
@@ -233,8 +242,9 @@ object Matcher {
         // every source is deduped before the broadcast
         val hotDf = (cfg.knownHotKeysDf, cfg.knownHotKeys) match {
           // same broadcast cap as the detection path: keys beyond it
-          // simply stay unsalted (perf-only; AQE skew-join still splits
-          // them at runtime). The capped subset is SORTED first: the
+          // simply stay unsalted (see the cap note above plainJoin for
+          // the r06 shuffled-hash caveat). The capped subset is SORTED
+          // first: the
           // hot-flag subplan feeds BOTH join sides, and if the broadcast
           // exchange is ever not reused (exchange reuse off, AQE replan)
           // an arbitrary-order limit could salt different key subsets on
@@ -256,8 +266,13 @@ object Matcher {
             // on either side has nl·nr = 0 and fails the threshold,
             // exactly as the inner join dropped it), one exchange and
             // two fewer AQE stages (guide §2.4).
+            // null keys can never match in the equi-join; the old
+            // inner-join formulation excluded them structurally, the
+            // union-agg must do it explicitly or a null group could
+            // burn a slot of the broadcast cap
             l0.select(col("block_key"), lit(1L).as("__l"))
               .unionAll(r0.select(col("block_key"), lit(0L).as("__l")))
+              .filter(col("block_key").isNotNull)
               .groupBy("block_key")
               .agg(sum(col("__l")).as("nl"), sum(lit(1L) - col("__l")).as("nr"))
               .filter(col("nl") * col("nr") >= cfg.saltHotPairs)
@@ -574,8 +589,13 @@ object Matcher {
     // bands), same exactness (tested: bit-identical output).
     val joined =
       if (cfg.saltBuckets > 1) {
-        val hotBands = lSlim.groupBy("band").agg(count(lit(1)).as("nl"))
-          .join(rSlim.groupBy("band").agg(count(lit(1)).as("nr")), "band")
+        // one union-tagged aggregation, the block-key detection's twin
+        // (r06 — same shape, same null/single-side exclusion)
+        val hotBands = lSlim.select(col("band"), lit(1L).as("__l"))
+          .unionAll(rSlim.select(col("band"), lit(0L).as("__l")))
+          .filter(col("band").isNotNull)
+          .groupBy("band")
+          .agg(sum(col("__l")).as("nl"), sum(lit(1L) - col("__l")).as("nr"))
           .filter(col("nl") * col("nr") >= cfg.saltHotPairs)
           .select("band").sort("band").limit(1000000)
         targetedSaltedJoin(lSlim, rSlim, "band", hotBands, cfg.saltBuckets, parts,

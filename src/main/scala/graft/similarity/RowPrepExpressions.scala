@@ -57,20 +57,34 @@ object RowPrepOps {
 
   /** [[sortedTokenSet]] with the set-sim family's tokenizer (split on
     * the single space character, like `split(c, " ")` + drop-empties —
-    * NOT java `\s`): sorted distinct tokens, byte-exact for all UTF-8.
+    * NOT java `\\s`): sorted distinct tokens, byte-exact for all UTF-8.
     * Equals `sort_array(collect_list(tok))` over the family's exploded
     * (id, tok) membership for a unique-id row. */
-  def sortedTokenSetSpace(s: UTF8String): ArrayData = {
+  def sortedTokenSetSpace(s: UTF8String): ArrayData = tokenSet(s, spaceOnly = true)
+
+  def sortedTokenSet(s: UTF8String): ArrayData = tokenSet(s, spaceOnly = false)
+
+  /** One body for both tokenizers (one predictable branch per byte):
+    * one materialization of the backing bytes; every token is a
+    * zero-copy VIEW (fromBytes(bytes, off, len)) — at millions of
+    * post-shuffle rows × hundreds of tokens, per-token byte copies and
+    * per-row hash sets measurably drag the scoring join (a first fused
+    * attempt cost ~30% of match throughput; see OPTIMIZATION_r06.md).
+    * Sort, then adjacent-dedup: same set + same order as
+    * array_sort(array_distinct(...)), no per-row hash table. */
+  private def tokenSet(s: UTF8String, spaceOnly: Boolean): ArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
+    @inline def isSep(b: Byte): Boolean =
+      if (spaceOnly) b == ' ' else isJavaSpace(b)
     var count = 0
     var i = 0
     while (i < n) {
-      if (bytes(i) == ' ') i += 1
+      if (isSep(bytes(i))) i += 1
       else {
         count += 1
         i += 1
-        while (i < n && bytes(i) != ' ') i += 1
+        while (i < n && !isSep(bytes(i))) i += 1
       }
     }
     if (count == 0) return emptyArray
@@ -78,11 +92,11 @@ object RowPrepOps {
     var w = 0
     i = 0
     while (i < n) {
-      if (bytes(i) == ' ') i += 1
+      if (isSep(bytes(i))) i += 1
       else {
         val start = i
         i += 1
-        while (i < n && bytes(i) != ' ') i += 1
+        while (i < n && !isSep(bytes(i))) i += 1
         arr(w) = UTF8String.fromBytes(bytes, start, i - start)
         w += 1
       }
@@ -98,57 +112,6 @@ object RowPrepOps {
     else {
       val trimmed = new Array[AnyRef](w)
       System.arraycopy(arr, 0, trimmed, 0, w)
-      new GenericArrayData(trimmed)
-    }
-  }
-
-  def sortedTokenSet(s: UTF8String): ArrayData = {
-    // one materialization of the backing bytes; every token is a
-    // zero-copy VIEW (fromBytes(bytes, off, len)) — at millions of
-    // post-shuffle rows × hundreds of tokens, per-token byte copies and
-    // per-row hash sets measurably drag the scoring join (first fused
-    // attempt cost ~30% of match throughput; see OPTIMIZATION_r06.md)
-    val bytes = s.getBytes
-    val n = bytes.length
-    var count = 0
-    var i = 0
-    while (i < n) {
-      if (isJavaSpace(bytes(i))) i += 1
-      else {
-        count += 1
-        i += 1
-        while (i < n && !isJavaSpace(bytes(i))) i += 1
-      }
-    }
-    if (count == 0) return emptyArray
-    val arr = new Array[UTF8String](count)
-    var w = 0
-    i = 0
-    while (i < n) {
-      if (isJavaSpace(bytes(i))) i += 1
-      else {
-        val start = i
-        i += 1
-        while (i < n && !isJavaSpace(bytes(i))) i += 1
-        arr(w) = UTF8String.fromBytes(bytes, start, i - start)
-        w += 1
-      }
-    }
-    // sort, then adjacent-dedup: same set + same order as
-    // array_sort(array_distinct(...)), no per-row hash table
-    java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.binaryCompare(b))
-    var out = count
-    w = 1
-    i = 1
-    while (i < count) {
-      if (!arr(i).equals(arr(w - 1))) { arr(w) = arr(i); w += 1 }
-      i += 1
-    }
-    out = w
-    if (out == count) new GenericArrayData(arr.asInstanceOf[Array[AnyRef]])
-    else {
-      val trimmed = new Array[AnyRef](out)
-      System.arraycopy(arr, 0, trimmed, 0, out)
       new GenericArrayData(trimmed)
     }
   }

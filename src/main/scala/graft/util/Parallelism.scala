@@ -15,27 +15,27 @@ import org.apache.spark.sql.SparkSession
   * spreads make ~150-row tasks whose scheduling cost exceeds their
   * compute several-fold across every stage of the chain.
   *
-  * Both knobs are scale-adaptive, never constants:
-  *   - [[spread]] = 2 × `defaultParallelism` (total session cores; on
-  *     a cluster that is executors × cores, so the count grows with
-  *     the hardware — 2× leaves straggler/imbalance headroom). Used
-  *     where the spread exists purely to parallelize per-row compute.
-  *   - [[explodingJoin]] = max(shuffle.partitions, 2 × cores). The
-  *     block join's output is orders of magnitude larger than its
-  *     input, so its partition count must never drop below what the
-  *     admin sized for reduce stages (skew/memory headroom at real
-  *     scale), but must also not starve a session whose core count
-  *     exceeds the conf.
+  * Both knobs are scale-adaptive, never constants, and both are
+  * FLOORED at `spark.sql.shuffle.partitions`: `defaultParallelism` is
+  * read at plan-build time and under dynamic allocation (or before
+  * executors register) it reflects only the cores registered RIGHT
+  * NOW — without the floor a cold cluster would fan a large corpus
+  * into a handful of partitions ahead of the compute chains the
+  * repartition exists to parallelize. The admin-sized conf is the
+  * lower bound; the cores term only ever RAISES the count (a session
+  * with more cores than the conf was sized for).
   *
   * `GRAFT_SPREAD_PARTS` / `GRAFT_JOIN_PARTS` override for diagnostics
   * (BenchExtra A/B runs) only — production paths read the defaults.
   */
 object Parallelism {
 
-  /** Partitions for compute-bound input spreading. */
+  /** Partitions for compute-bound input spreading:
+    * max(shuffle.partitions, 2 × session cores). */
   def spread(spark: SparkSession): Int =
     sys.env.get("GRAFT_SPREAD_PARTS").map(_.toInt)
-      .getOrElse(math.max(2 * spark.sparkContext.defaultParallelism, 1))
+      .getOrElse(math.max(spark.sessionState.conf.numShufflePartitions,
+        2 * spark.sparkContext.defaultParallelism))
 
   /** Partitions for exploding (block/band) join exchanges. */
   def explodingJoin(spark: SparkSession): Int =

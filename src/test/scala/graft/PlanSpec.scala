@@ -162,8 +162,12 @@ class PlanSpec extends SparkSpec {
     val bnlj = p.linesIterator
       .filter(_.contains("BroadcastNestedLoopJoin"))
       .filterNot(_.trim.startsWith("(")).toSeq
+    // the weights subplan appears once per side and AQE prints the
+    // final + initial plan, so the ONE count join surfaces as <= 4
+    // tree lines; more means an unrelated nested loop crept in
     assert(bnlj.isEmpty ||
-      (p.contains("__n_docs") && bnlj.forall(_.contains("Cross BuildRight"))),
+      (bnlj.size <= 4 && p.contains("__n_docs") &&
+        bnlj.forall(_.contains("Cross BuildRight"))),
       s"nested-loop join beyond the 1-row count in the enrich plan:\n$p")
     graft.util.CheckpointHygiene.free(pairs)
   }
